@@ -1,0 +1,204 @@
+"""MaskGIT-style iterative parallel decoding, fully on-device.
+
+Reimplements reference VampNet.generate (vampnet/modules/transformer.py:686-946)
+as a single jit-compiled function: the sampling loop is a `lax.fori_loop`, so
+there is no host round-trip per step (the reference's Python `for` loop and its
+per-step host<->device syncs are the main inefficiency this rebuild removes —
+SURVEY.md §3.1).
+
+Semantics match the reference step for step:
+  r = (i+1)/steps; forward; sample with typical/top-k/top-p filters;
+  keep unmasked tokens; num_to_mask = floor(gamma(r) * N0) (N0 = total masked
+  tokens across the whole batch at start, reference :766); clamp to
+  [1, remaining-1] except on the last step; gumbel-confidence re-mask with
+  temperature mask_temperature*(1-r).
+
+Classifier-free guidance:
+  * ctrls CFG (reference :722-733): cond/uncond halves are batched through the
+    forward and combined as uncond + scale*(cond-uncond). Unlike the reference
+    (which only works for batch=1 due to a broadcasting accident), this
+    implementation supports any batch size.
+  * cfg_guidance (reference :771-783,:845-847): the reference computes the
+    guided logits but drops them on the floor (logits_cond is never written
+    back); here the guided logits are actually used.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..mask import _gamma
+from ..util import codebook_flatten, codebook_unflatten
+from .sample import mask_by_random_topk, sample_from_logits
+
+
+def generate(
+    forward_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    key: jax.Array,
+    start_tokens: jnp.ndarray,  # (b, n_codebooks, t) int
+    mask: Optional[jnp.ndarray],  # (b, n_codebooks, t) or (b, t); 1 = regenerate
+    mask_token: int,
+    n_conditioning_codebooks: int = 0,
+    sampling_steps: int = 12,
+    temperature=1.0,
+    mask_temperature=10.5,
+    typical_filtering: bool = True,
+    typical_mass: float = 0.15,
+    typical_min_tokens: int = 64,
+    top_k: Optional[int] = None,
+    top_p=None,
+    sample_cutoff: float = 1.0,
+    cfg_guidance: Optional[float] = None,
+) -> jnp.ndarray:
+    """Run the MaskGIT loop; returns sampled codes (b, n_codebooks, t).
+
+    `forward_fn` maps masked codes (b, C, T) -> logits (b, T, C_infer, V)
+    in fp32 (already bound to params + codec codebooks). Static arguments
+    (sampling_steps, filter structure) specialize the trace; `temperature`,
+    `mask_temperature`, `top_p`, `sample_cutoff` may be traced scalars or
+    per-row (b,) arrays.
+    """
+    z = start_tokens.astype(jnp.int32)
+    nb, n_cb, t = z.shape
+    ncc = n_conditioning_codebooks
+    n_infer = n_cb - ncc
+    flat_len = t * n_infer
+
+    if mask is None:
+        mask = jnp.ones_like(z)
+        mask = mask.at[:, :ncc, :].set(0) if ncc else mask
+    if mask.ndim == 2:
+        mask = jnp.broadcast_to(mask[:, None, :], z.shape)
+    mask = mask.astype(jnp.int32)
+
+    z_masked = jnp.where(mask.astype(bool), mask_token, z)
+
+    if cfg_guidance is not None:
+        # append fully-masked unconditional rows (reference :771-783)
+        z_uncond = jnp.full_like(z, mask_token)
+        z_masked = jnp.concatenate([z_masked, z_uncond], axis=0)
+        z = jnp.concatenate([z, z_uncond], axis=0)
+
+    b = z_masked.shape[0]
+    num_mask_tokens_at_start = jnp.sum(z_masked == mask_token)  # scalar (reference :766)
+
+    temperature = jnp.asarray(temperature, dtype=jnp.float32)
+    mask_temp = jnp.asarray(mask_temperature, dtype=jnp.float32)
+    steps = int(sampling_steps)
+
+    def body(i, carry):
+        z_masked, sampled_flat, key = carry
+        key, k_sample, k_mask = jax.random.split(key, 3)
+        r_scalar = (i + 1).astype(jnp.float32) / steps
+        r = jnp.full((b,), r_scalar)
+
+        logits = forward_fn(z_masked)  # (b, T, n_infer, V) fp32
+        if cfg_guidance is not None:
+            cond, uncond = logits[:nb], logits[nb:]
+            guided = cfg_guidance * cond + cfg_guidance * (1 - uncond)
+            logits = jnp.concatenate([guided, uncond], axis=0)
+        v = logits.shape[-1]
+        logits_flat = logits.reshape(b, flat_len, v)
+
+        do_sample = (i.astype(jnp.float32) / steps) <= jnp.asarray(
+            sample_cutoff, dtype=jnp.float32
+        )
+        sampled, selected_probs = sample_from_logits(
+            k_sample,
+            logits_flat,
+            sample=do_sample,
+            temperature=temperature,
+            typical_filtering=typical_filtering,
+            typical_mass=typical_mass,
+            typical_min_tokens=typical_min_tokens,
+            top_k=top_k,
+            top_p=top_p,
+            return_probs=True,
+        )
+
+        zm_flat = codebook_flatten(z_masked[:, ncc:, :])
+        cur_mask = zm_flat == mask_token
+        sampled = jnp.where(cur_mask, sampled, zm_flat)
+        selected_probs = jnp.where(cur_mask, selected_probs, jnp.inf)
+
+        num_to_mask = jnp.floor(
+            _gamma(r) * num_mask_tokens_at_start
+        ).astype(jnp.int32)[:, None]
+        remaining = jnp.sum(cur_mask.astype(jnp.int32), axis=-1, keepdims=True)
+        clamped = jnp.maximum(1, jnp.minimum(remaining - 1, num_to_mask))
+        num_to_mask = jnp.where(i != steps - 1, clamped, num_to_mask)
+
+        new_mask = mask_by_random_topk(
+            k_mask, num_to_mask, selected_probs, mask_temp * (1 - r)
+        )
+        z_masked_flat = jnp.where(new_mask, mask_token, sampled)
+        z_masked_new = jnp.concatenate(
+            [z[:, :ncc, :], codebook_unflatten(z_masked_flat, n_infer)], axis=1
+        )
+        return z_masked_new, sampled, key
+
+    sampled0 = codebook_flatten(z_masked[:, ncc:, :])
+    z_masked, sampled_flat, _ = jax.lax.fori_loop(
+        0, steps, body, (z_masked, sampled0, key)
+    )
+
+    out = jnp.concatenate(
+        [z[:, :ncc, :], codebook_unflatten(sampled_flat, n_infer)], axis=1
+    )
+    if cfg_guidance is not None:
+        out = out[:nb]
+    return out
+
+
+def build_generate_fn(
+    model,
+    sampling_steps: int = 12,
+    typical_filtering: bool = True,
+    typical_mass: float = 0.15,
+    typical_min_tokens: int = 64,
+    top_k: Optional[int] = None,
+    use_top_p: bool = False,
+    cfg_guidance: Optional[float] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build a jitted generate for a VampNetLM `model`.
+
+    Returns fn(params, codebooks, key, start_tokens, mask, temperature,
+    mask_temperature, top_p, sample_cutoff) -> codes. One compilation per
+    (batch, seq) shape; all sampling hyperparameters that users sweep at
+    request time (temperature, mask_temperature, top_p, sample_cutoff) are
+    traced so sweeps don't recompile (BASELINE.json config 3).
+    """
+    ncc = model.config.n_conditioning_codebooks
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(params, codebooks, key, start_tokens, mask, temperature,
+           mask_temperature, top_p, sample_cutoff):
+        def forward(z_masked):
+            return model.apply(
+                {"params": params}, z_masked, codebooks, method="forward_codes"
+            )
+
+        return generate(
+            forward,
+            key,
+            start_tokens,
+            mask,
+            mask_token=model.config.mask_token,
+            n_conditioning_codebooks=ncc,
+            sampling_steps=sampling_steps,
+            temperature=temperature,
+            mask_temperature=mask_temperature,
+            typical_filtering=typical_filtering,
+            typical_mass=typical_mass,
+            typical_min_tokens=typical_min_tokens,
+            top_k=top_k,
+            top_p=top_p if use_top_p else None,
+            sample_cutoff=sample_cutoff,
+            cfg_guidance=cfg_guidance,
+        )
+
+    return fn

@@ -1,0 +1,132 @@
+"""Token sampling ops: temperature / typical filtering / top-k / top-p and
+gumbel-confidence re-masking.
+
+Reimplements reference vampnet/modules/transformer.py:952-1103 as pure,
+vectorized, jit-traceable JAX — sorts and masked scatters instead of
+data-dependent shapes, so the whole MaskGIT loop stays on-device.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def typical_filter(
+    logits: jnp.ndarray,  # (..., vocab)
+    typical_mass: float = 0.2,
+    typical_min_tokens: int = 1,
+) -> jnp.ndarray:
+    """Locally-typical filtering (reference transformer.py:1076-1103).
+
+    Keeps the tokens whose surprisal is closest to the distribution entropy
+    until `typical_mass` cumulative probability is covered (always keeping at
+    least `typical_min_tokens`); the rest are set to -inf.
+    """
+    log_p = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(log_p)
+    # nansum in the reference: 0 * -inf -> 0
+    plogp = jnp.where(p > 0, log_p * p, 0.0)
+    entropy = -jnp.sum(plogp, axis=-1, keepdims=True)
+
+    shifted = jnp.abs(-log_p - entropy)
+    sorted_idx = jnp.argsort(shifted, axis=-1)  # ascending: most typical first
+    shifted_sorted = jnp.take_along_axis(shifted, sorted_idx, axis=-1)
+    logits_sorted = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cumsum = jnp.cumsum(jax.nn.softmax(logits_sorted, axis=-1), axis=-1)
+
+    last_ind = jnp.sum((cumsum < typical_mass).astype(jnp.int32), axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(shifted_sorted, last_ind, axis=-1)
+    sorted_remove = shifted_sorted > cutoff
+    if typical_min_tokens > 1:
+        rank = jnp.arange(logits.shape[-1])
+        sorted_remove = sorted_remove & (rank >= typical_min_tokens)
+
+    inv_perm = jnp.argsort(sorted_idx, axis=-1)
+    remove = jnp.take_along_axis(sorted_remove, inv_perm, axis=-1)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def _top_k_filter(logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """Keep only the top_k logits (reference transformer.py:996-998)."""
+    kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+    return jnp.where(logits < kth, NEG_INF, logits)
+
+
+def _top_p_filter(logits: jnp.ndarray, top_p) -> jnp.ndarray:
+    """Nucleus filtering (reference transformer.py:1001-1016); `top_p` may be
+    a traced scalar or (...,1)-broadcastable array."""
+    sorted_idx = jnp.argsort(-logits, axis=-1)  # descending
+    logits_sorted = jnp.take_along_axis(logits, sorted_idx, axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(logits_sorted, axis=-1), axis=-1)
+    sorted_remove = cum > jnp.asarray(top_p)
+    # right-shift: always keep the first token over the threshold
+    sorted_remove = jnp.concatenate(
+        [jnp.zeros_like(sorted_remove[..., :1]), sorted_remove[..., :-1]], axis=-1
+    )
+    inv_perm = jnp.argsort(sorted_idx, axis=-1)
+    remove = jnp.take_along_axis(sorted_remove, inv_perm, axis=-1)
+    return jnp.where(remove, NEG_INF, logits)
+
+
+def sample_from_logits(
+    key: jax.Array,
+    logits: jnp.ndarray,  # (..., vocab)
+    sample=True,
+    temperature=1.0,
+    top_k: Optional[int] = None,
+    top_p=None,
+    typical_filtering: bool = False,
+    typical_mass: float = 0.2,
+    typical_min_tokens: int = 1,
+    return_probs: bool = False,
+):
+    """Categorical sampling with the reference's filter pipeline
+    (reference transformer.py:952-1034). `sample` and `temperature` may be
+    traced (per-call or per-row) values; the filter *structure* is static.
+    """
+    if typical_filtering:
+        logits = typical_filter(
+            logits, typical_mass=typical_mass, typical_min_tokens=typical_min_tokens
+        )
+    if top_k is not None:
+        logits = _top_k_filter(logits, top_k)
+    if top_p is not None:
+        logits = _top_p_filter(logits, top_p)
+
+    temperature = jnp.asarray(temperature, dtype=jnp.float32)
+    t = jnp.maximum(temperature, 1e-10)
+    while t.ndim < logits.ndim:
+        t = t[..., None]
+    scaled = logits / t
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1)
+    token = jnp.where(jnp.asarray(sample), sampled, greedy)
+
+    if return_probs:
+        token_probs = jnp.take_along_axis(probs, token[..., None], axis=-1)[..., 0]
+        return token, token_probs
+    return token
+
+
+def mask_by_random_topk(
+    key: jax.Array,
+    num_to_mask: jnp.ndarray,  # (b, 1) int
+    probs: jnp.ndarray,  # (b, seq) selected-token probs; +inf = pinned unmasked
+    temperature: jnp.ndarray,  # (b,) or scalar
+) -> jnp.ndarray:
+    """Gumbel-confidence re-masking (reference transformer.py:1038-1074):
+    confidence = log p + temperature * gumbel; the `num_to_mask` least
+    confident positions get re-masked."""
+    noise = jax.random.gumbel(key, probs.shape)
+    temperature = jnp.asarray(temperature, dtype=jnp.float32)
+    if temperature.ndim == 1:
+        temperature = temperature[:, None]
+    confidence = jnp.log(probs) + temperature * noise
+    sorted_confidence = jnp.sort(confidence, axis=-1)
+    cut_off = jnp.take_along_axis(sorted_confidence, num_to_mask, axis=-1)
+    return confidence < cut_off
