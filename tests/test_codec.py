@@ -1,0 +1,146 @@
+"""Codec tests: conv-layer parity vs torch, RVQ invariants, end-to-end shapes."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampnet_tpu.codec import LAC, CodecConfig
+from vampnet_tpu.codec.layers import WNConv1d, WNConvTranspose1d
+
+SMALL = CodecConfig(
+    sample_rate=16000, encoder_dim=16, encoder_rates=(2, 4, 4),
+    decoder_dim=128, decoder_rates=(4, 4, 2), n_codebooks=4,
+    codebook_size=32, codebook_dim=4,
+)
+
+
+@pytest.mark.parametrize("k,s,p,d", [(7, 1, 3, 1), (4, 2, 1, 1), (7, 1, 9, 3), (16, 8, 4, 1), (1, 1, 0, 1)])
+def test_wnconv1d_matches_torch(k, s, p, d):
+    import torch
+
+    torch.manual_seed(0)
+    cin, cout, t = 3, 5, 64
+    ref = torch.nn.utils.weight_norm(
+        torch.nn.Conv1d(cin, cout, k, stride=s, padding=p, dilation=d)
+    )
+    x = torch.randn(2, cin, t)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+
+    layer = WNConv1d(cout, kernel_size=k, stride=s, padding=p, dilation=d)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    params = layer.init(jax.random.PRNGKey(0), xj)["params"]
+    params = {
+        "v": jnp.asarray(ref.weight_v.detach().numpy()),
+        "g": jnp.asarray(ref.weight_g.detach().numpy()[:, 0, 0]),
+        "bias": jnp.asarray(ref.bias.detach().numpy()),
+    }
+    y = layer.apply({"params": params}, xj)
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 2, 1), y_ref, atol=1e-4, rtol=1e-4
+    )
+
+
+@pytest.mark.parametrize("k,s,p", [(4, 2, 1), (16, 8, 4), (8, 4, 2)])
+def test_wnconvtranspose1d_matches_torch(k, s, p):
+    import torch
+
+    torch.manual_seed(1)
+    cin, cout, t = 4, 3, 32
+    ref = torch.nn.utils.weight_norm(
+        torch.nn.ConvTranspose1d(cin, cout, k, stride=s, padding=p)
+    )
+    x = torch.randn(2, cin, t)
+    with torch.no_grad():
+        y_ref = ref(x).numpy()
+
+    layer = WNConvTranspose1d(cout, kernel_size=k, stride=s, padding=p)
+    xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
+    params = {
+        "v": jnp.asarray(ref.weight_v.detach().numpy()),
+        "g": jnp.asarray(ref.weight_g.detach().numpy()[:, 0, 0]),
+        "bias": jnp.asarray(ref.bias.detach().numpy()),
+    }
+    y = layer.apply({"params": params}, xj)
+    assert y.shape[1] == (t - 1) * s - 2 * p + k
+    np.testing.assert_allclose(
+        np.asarray(y).transpose(0, 2, 1), y_ref, atol=1e-4, rtol=1e-4
+    )
+
+
+@pytest.fixture(scope="module")
+def codec():
+    model = LAC(SMALL)
+    t = SMALL.hop_length * 8
+    audio = jax.random.normal(jax.random.PRNGKey(0), (1, t, 1)) * 0.1
+    variables = model.init(jax.random.PRNGKey(1), audio)
+    return model, variables["params"], audio
+
+
+def test_encode_shapes(codec):
+    model, params, audio = codec
+    out = model.apply({"params": params}, audio, method="encode")
+    assert out["codes"].shape == (1, 4, 8)
+    assert out["z"].shape == (1, 8, SMALL.latent_dim)
+    assert (out["codes"] >= 0).all() and (out["codes"] < 32).all()
+
+
+def test_decode_roundtrip_shape(codec):
+    model, params, audio = codec
+    out = model.apply({"params": params}, audio, method="encode")
+    recon = model.apply({"params": params}, out["z"], method="decode")["audio"]
+    assert recon.shape == audio.shape
+    assert (jnp.abs(recon) <= 1.0).all()  # tanh output
+
+
+def test_from_codes_matches_quantized(codec):
+    model, params, audio = codec
+    out = model.apply({"params": params}, audio, method="encode")
+    z_q2 = model.apply(
+        {"params": params}, out["codes"],
+        method=lambda m, c: m.quantizer.from_codes(c),
+    )
+    # straight-through arithmetic (z_e + sg(z_q - z_e)) introduces float noise
+    np.testing.assert_allclose(
+        np.asarray(out["z"]), np.asarray(z_q2), atol=1e-3, rtol=1e-3
+    )
+
+
+def test_decode_codes_equals_decode_latents(codec):
+    """The LM decode path (lookup latents -> from_latents -> decoder) must
+    equal decode_codes (reference transformer.py:661-675 parity)."""
+    model, params, audio = codec
+    out = model.apply({"params": params}, audio, method="encode")
+    codes = out["codes"]
+    a1 = model.apply({"params": params}, codes, method="decode_codes")
+
+    def via_latents(m, c):
+        tables = m.quantizer.codebook_tables()
+        b, n_cb, t = c.shape
+        lat = tables[jnp.arange(n_cb)[None, :, None], c]  # (b, n_cb, t, d)
+        lat = jnp.swapaxes(lat, 1, 2).reshape(b, t, n_cb * SMALL.codebook_dim)
+        return m.decode_latents(lat)
+
+    a2 = model.apply({"params": params}, codes, method=via_latents)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-4)
+
+
+def test_codebook_tables_shape(codec):
+    model, params, _ = codec
+    tables = model.apply({"params": params}, method="codebook_tables")
+    assert tables.shape == (4, 32, 4)
+
+
+def test_n_quantizers_subset(codec):
+    model, params, audio = codec
+    out = model.apply({"params": params}, audio, 2, method="encode")
+    assert out["codes"].shape[1] == 2
+
+
+def test_hop_and_preprocess():
+    model = LAC(SMALL)
+    assert SMALL.hop_length == 32
+    assert model.config.latent_dim == 16 * 8
+    bound = model.bind({"params": {}})
+    assert bound.preprocess_length(33) == 64
+    assert bound.preprocess_length(32) == 32
