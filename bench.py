@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""End-to-end vamp benchmark (BASELINE.json configs 1-3).
+
+Measures the full pipeline on real hardware: encode -> build_mask ->
+coarse vamp (12 steps) -> coarse-to-fine (2 steps, windowed-as-batch) ->
+codec decode, with the app's default batch_size=2 variations on 10 s of audio
+at the shipped model scale (coarse 20L/20H/1280d 4cb, c2f 16L 14cb,
+codec 44.1kHz hop-512 14cb). Weights are random — throughput is
+weight-independent.
+
+Metric: audio seconds generated per wall-clock second per chip.
+vs_baseline: ratio against the driver's north star (10x realtime per chip,
+BASELINE.json; the reference publishes no numbers — BASELINE.md).
+
+Prints exactly one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vampnet_tpu.audio import AudioSignal
+    from vampnet_tpu.codec import LAC, CodecConfig
+    from vampnet_tpu.interface import Interface
+    from vampnet_tpu.modules import LMConfig, VampNetLM
+
+    codec_cfg = CodecConfig()  # 44.1 kHz, hop 512, 14 codebooks
+    coarse_cfg = LMConfig.coarse()
+    c2f_cfg = LMConfig.c2f()
+
+    codec = LAC(codec_cfg)
+    audio0 = jnp.zeros((1, codec_cfg.hop_length * 4, 1), jnp.float32)
+    codec_params = jax.jit(lambda k: codec.init(k, audio0))(jax.random.PRNGKey(0))[
+        "params"
+    ]
+
+    def init_lm(cfg, seed):
+        model = VampNetLM(cfg)
+        codes = jnp.zeros((1, cfg.n_codebooks, 16), jnp.int32)
+        cbs = jnp.zeros((cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim), jnp.float32)
+        return jax.jit(
+            lambda k: model.init(k, codes, cbs, method="forward_codes")
+        )(jax.random.PRNGKey(seed))["params"]
+
+    iface = Interface.from_modules(
+        codec_cfg=codec_cfg,
+        codec_params=codec_params,
+        coarse_cfg=coarse_cfg,
+        coarse_params=init_lm(coarse_cfg, 1),
+        c2f_cfg=c2f_cfg,
+        c2f_params=init_lm(c2f_cfg, 2),
+    )
+
+    seconds = 10.0
+    batch_size = 2  # app default (reference app.py:232)
+    sr = codec_cfg.sample_rate
+    t = np.arange(int(seconds * sr)) / sr
+    wav = (
+        0.4 * np.sin(2 * np.pi * 110 * t)
+        + 0.2 * np.sin(2 * np.pi * 220 * t * (1 + 0.1 * np.sin(2 * np.pi * 0.5 * t)))
+        + 0.05 * np.random.default_rng(0).standard_normal(len(t))
+    ).astype(np.float32)
+    sig = AudioSignal(wav[None, None, :], sr)
+
+    def run(seed):
+        codes = iface.encode(sig)
+        mask = iface.build_mask(
+            codes, periodic_prompt=7, upper_codebook_mask=3, seed=seed
+        )
+        zv = iface.vamp(
+            codes, mask, batch_size=batch_size, seed=seed, _sampling_steps=12
+        )
+        out = iface.decode(zv)
+        out.samples.sum()  # host sync
+        return out
+
+    run(0)  # warmup / compile
+    times = []
+    for i in range(4):
+        t0 = time.perf_counter()
+        run(i + 1)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+    audio_sec = seconds * batch_size
+    value = audio_sec / p50
+    print(
+        json.dumps(
+            {
+                "metric": "audio_sec_generated_per_wall_sec_per_chip",
+                "value": round(value, 3),
+                "unit": "audio_s/s/chip",
+                "vs_baseline": round(value / 10.0, 3),
+                "detail": {
+                    "p50_vamp_latency_s": round(p50, 3),
+                    "audio_seconds": audio_sec,
+                    "batch_size": batch_size,
+                    "coarse_steps": 12,
+                    "c2f_steps": 2,
+                    "backend": jax.default_backend(),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

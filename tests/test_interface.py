@@ -1,0 +1,163 @@
+"""End-to-end Interface tests on tiny models (encode -> mask -> vamp -> decode)."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampnet_tpu.audio import AudioSignal
+from vampnet_tpu.codec import LAC, CodecConfig
+from vampnet_tpu.interface import Interface
+from vampnet_tpu.modules import LMConfig, VampNetLM
+
+CODEC_CFG = CodecConfig(
+    sample_rate=16000, encoder_dim=16, encoder_rates=(2, 4, 4),
+    decoder_dim=128, decoder_rates=(4, 4, 2), n_codebooks=6,
+    codebook_size=32, codebook_dim=4,
+)
+COARSE_CFG = LMConfig(
+    n_heads=4, n_layers=2, n_codebooks=2, n_conditioning_codebooks=0,
+    latent_dim=4, embedding_dim=64, vocab_size=32, dropout=0.0,
+)
+C2F_CFG = LMConfig(
+    n_heads=4, n_layers=2, n_codebooks=6, n_conditioning_codebooks=2,
+    latent_dim=4, embedding_dim=64, vocab_size=32, dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def interface():
+    codec = LAC(CODEC_CFG)
+    audio = jax.random.normal(jax.random.PRNGKey(0), (1, CODEC_CFG.hop_length * 8, 1)) * 0.1
+    codec_params = codec.init(jax.random.PRNGKey(1), audio)["params"]
+
+    def init_lm(cfg, seed):
+        model = VampNetLM(cfg)
+        codes = jnp.zeros((1, cfg.n_codebooks, 8), dtype=jnp.int32)
+        cbs = jnp.zeros((cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim))
+        return model.init(jax.random.PRNGKey(seed), codes, cbs, method="forward_codes")["params"]
+
+    iface = Interface.from_modules(
+        codec_cfg=CODEC_CFG, codec_params=codec_params,
+        coarse_cfg=COARSE_CFG, coarse_params=init_lm(COARSE_CFG, 2),
+        c2f_cfg=C2F_CFG, c2f_params=init_lm(C2F_CFG, 3),
+        coarse_chunk_size_s=0.1,  # 50 tokens @ 16kHz/hop32 -> small chunks
+        coarse2fine_chunk_size_s=0.05,
+    )
+    return iface
+
+
+def _sig(seconds=0.3, sr=16000):
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.5 * np.sin(2 * np.pi * 220 * t) + 0.1 * np.sin(2 * np.pi * 440 * t)
+    return AudioSignal(x.astype(np.float32)[None, None, :], sr)
+
+
+def test_s2t_t2s(interface):
+    assert interface.s2t(1.0) == math.ceil(16000 / 32)
+    assert abs(interface.s2t2s(1.0) - 1.0) < 0.01
+
+
+def test_encode_shape(interface):
+    codes = interface.encode(_sig(0.3))
+    t_expected = math.ceil(0.3 * 16000 / 32)
+    assert codes.shape[0] == 1 and codes.shape[1] == 6
+    assert abs(codes.shape[2] - t_expected) <= 1
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 32).all()
+
+
+def test_build_mask_shapes(interface):
+    codes = interface.encode(_sig(0.3))
+    mask = interface.build_mask(codes, periodic_prompt=7, upper_codebook_mask=3, seed=0)
+    assert mask.shape == codes.shape
+    m = np.asarray(mask)
+    assert set(np.unique(m)) <= {0, 1}
+    assert (m[:, 3:, :] == 1).all()  # upper codebook mask
+
+
+def test_decode_roundtrip(interface):
+    codes = interface.encode(_sig(0.3))
+    sig = interface.decode(codes)
+    assert sig.sample_rate == 16000
+    assert sig.samples.shape[-1] == codes.shape[-1] * 32
+
+
+def test_decode_silences_all_masked_frames(interface):
+    codes = interface.encode(_sig(0.3))
+    z = np.asarray(codes).copy()
+    z[:, :, 3] = interface.coarse.mask_token
+    sig = interface.decode(jnp.asarray(z))
+    frame = sig.samples[0, 0, 3 * 32 : 4 * 32]
+    np.testing.assert_array_equal(frame, 0)
+    assert np.abs(sig.samples[0, 0, : 2 * 32]).sum() > 0
+
+
+def test_coarse_vamp_multichunk(interface):
+    codes = interface.encode(_sig(0.5))  # 250 tokens -> 5 chunks of 50
+    mask = interface.build_mask(codes, periodic_prompt=5, upper_codebook_mask=2, seed=1)
+    out = interface.coarse_vamp(codes, mask, seed=0, _sampling_steps=3)
+    out = np.asarray(out)
+    assert out.shape == codes.shape
+    # fine codebooks pass through
+    np.testing.assert_array_equal(out[:, 2:, :], np.asarray(codes)[:, 2:, :])
+    # no mask tokens anywhere
+    assert (out != interface.coarse.mask_token).all()
+
+
+def test_coarse_vamp_preserves_unmasked(interface):
+    codes = interface.encode(_sig(0.2))
+    mask = np.zeros(codes.shape, dtype=np.int64)
+    mask[:, :, 10:20] = 1  # regenerate only a window
+    out = interface.coarse_vamp(codes, jnp.asarray(mask), seed=0, _sampling_steps=3)
+    out = np.asarray(out)
+    ref = np.asarray(codes)
+    np.testing.assert_array_equal(out[:, :2, :8], ref[:, :2, :8])
+    np.testing.assert_array_equal(out[:, :2, 22:], ref[:, :2, 22:])
+
+
+def test_coarse_to_fine(interface):
+    codes = interface.encode(_sig(0.3))
+    mask = interface.build_mask(codes, upper_codebook_mask=2, seed=2)
+    zv = interface.coarse_to_fine(codes, mask=mask, seed=0)
+    zv = np.asarray(zv)
+    assert zv.shape == codes.shape
+    # conditioning codebooks untouched
+    np.testing.assert_array_equal(zv[:, :2, :], np.asarray(codes)[:, :2, :])
+    assert (zv != interface.c2f.mask_token).all()
+
+
+def test_vamp_full_pipeline(interface):
+    codes = interface.encode(_sig(0.3))
+    mask = interface.build_mask(codes, periodic_prompt=7, upper_codebook_mask=2, seed=3)
+    zv, mask_z = interface.vamp(
+        codes, mask, batch_size=2, return_mask=True, seed=42, _sampling_steps=3
+    )
+    assert zv.shape == (2, 6, codes.shape[-1])
+    assert mask_z.shape == (2, 6, codes.shape[-1])
+    sig = interface.decode(zv)
+    assert sig.samples.shape[0] == 2
+
+
+def test_vamp_seed_reproducible(interface):
+    codes = interface.encode(_sig(0.3))
+    mask = interface.build_mask(codes, periodic_prompt=7, seed=3)
+    z1 = interface.vamp(codes, mask, seed=7, _sampling_steps=3)
+    z2 = interface.vamp(codes, mask, seed=7, _sampling_steps=3)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    z3 = interface.vamp(codes, mask, seed=8, _sampling_steps=3)
+    assert not np.array_equal(np.asarray(z1), np.asarray(z3))
+
+
+def test_vamp_time_stretch(interface):
+    codes = interface.encode(_sig(0.2))
+    mask = interface.build_mask(codes, periodic_prompt=5, seed=0)
+    zv = interface.vamp(codes, mask, time_stretch_factor=2, seed=1, _sampling_steps=2)
+    assert zv.shape[-1] == codes.shape[-1] * 2
+
+
+def test_vamp_feedback_steps(interface):
+    codes = interface.encode(_sig(0.2))
+    mask = interface.build_mask(codes, periodic_prompt=5, seed=0)
+    zv = interface.vamp(codes, mask, feedback_steps=2, seed=1, _sampling_steps=2)
+    assert zv.shape == codes.shape

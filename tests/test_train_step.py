@@ -1,0 +1,132 @@
+"""Training-step tests: loss behavior, LoRA-only updates, sharded execution."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vampnet_tpu.codec import LAC, CodecConfig
+from vampnet_tpu.modules import LMConfig, VampNetLM
+from vampnet_tpu.modules.lora import lora_param_filter
+from vampnet_tpu.parallel import lm_param_specs, make_mesh, opt_state_specs, zero1_specs
+from vampnet_tpu.train import TrainState, make_optimizer, make_train_step
+from vampnet_tpu.train.scheduler import noam_schedule
+
+CODEC_CFG = CodecConfig(
+    sample_rate=16000, encoder_dim=16, encoder_rates=(2, 4, 4),
+    decoder_dim=128, decoder_rates=(4, 4, 2), n_codebooks=4,
+    codebook_size=64, codebook_dim=4,
+)
+LM_CFG = LMConfig(
+    n_heads=4, n_layers=2, n_codebooks=4, latent_dim=4,
+    embedding_dim=64, vocab_size=64, dropout=0.1,
+)
+
+
+def _setup(lm_cfg=LM_CFG):
+    codec = LAC(CODEC_CFG)
+    lm = VampNetLM(lm_cfg)
+    audio = jnp.zeros((2, CODEC_CFG.hop_length * 16, 1))
+    codec_params = codec.init(jax.random.PRNGKey(0), audio)["params"]
+    codes0 = jnp.zeros((1, lm_cfg.n_codebooks, 16), jnp.int32)
+    cbs = codec.apply({"params": codec_params}, method="codebook_tables")[
+        : lm_cfg.n_codebooks
+    ]
+    lm_params = lm.init(jax.random.PRNGKey(1), codes0, cbs, method="forward_codes")["params"]
+    return codec, codec_params, lm, lm_params, cbs, audio
+
+
+def test_noam_schedule_matches_reference_formula():
+    sch = noam_schedule(1280, factor=2.0, warmup=10000)
+    for step in [1, 100, 10000, 50000]:
+        expected = 2.0 * (1280 ** -0.5) * min(step ** -0.5, step * 10000 ** -1.5)
+        np.testing.assert_allclose(float(sch(jnp.asarray(step))), expected, rtol=1e-6)
+
+
+def test_train_step_decreases_loss():
+    codec, codec_params, lm, lm_params, cbs, _ = _setup()
+    audio = jax.random.normal(jax.random.PRNGKey(5), (2, CODEC_CFG.hop_length * 16, 1)) * 0.1
+    opt = make_optimizer(LM_CFG.embedding_dim, factor=0.5, warmup=10)
+    state = TrainState(lm_params, opt.init(lm_params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(lm, codec, opt))
+    losses = []
+    for i in range(12):
+        state, metrics = step(state, codec_params, cbs, audio, jax.random.PRNGKey(0))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 12
+    assert np.mean(losses[-3:]) < losses[0]  # same batch -> loss must fall
+    assert all(np.isfinite(losses))
+    assert "accuracy-0.0-0.5/top1/masked" in metrics
+
+
+def test_lora_only_training_freezes_base():
+    cfg = LMConfig(**{**LM_CFG.__dict__, "lora_r": 2})
+    codec, codec_params, lm, lm_params, cbs, _ = _setup(cfg)
+    audio = jax.random.normal(jax.random.PRNGKey(5), (2, CODEC_CFG.hop_length * 16, 1)) * 0.1
+    filt = lora_param_filter(lm_params)
+    opt = make_optimizer(cfg.embedding_dim, factor=50.0, warmup=10, lora_filter=filt)
+    state = TrainState(lm_params, opt.init(lm_params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(lm, codec, opt))
+    state, _ = step(state, codec_params, cbs, audio, jax.random.PRNGKey(0))
+    state, _ = step(state, codec_params, cbs, audio, jax.random.PRNGKey(1))
+
+    import flax.traverse_util as tu
+
+    before = tu.flatten_dict(lm_params)
+    after = tu.flatten_dict(state.params)
+    changed = {k for k in before if not np.array_equal(np.asarray(before[k]), np.asarray(after[k]))}
+    assert changed, "lora params must update"
+    assert all(k[-1] in ("lora_a", "lora_b") for k in changed), f"base params changed: {changed}"
+
+
+def test_sharded_train_step_matches_single_device():
+    codec, codec_params, lm, lm_params, cbs, _ = _setup()
+    audio = jax.random.normal(jax.random.PRNGKey(5), (4, CODEC_CFG.hop_length * 16, 1)) * 0.1
+    opt = make_optimizer(LM_CFG.embedding_dim, factor=2.0, warmup=10)
+    key = jax.random.PRNGKey(0)
+
+    # single device
+    state0 = TrainState(lm_params, opt.init(lm_params), jnp.zeros((), jnp.int32))
+    step = jax.jit(make_train_step(lm, codec, opt))
+    state1, m1 = step(state0, codec_params, cbs, audio, key)
+
+    # 8-device dp*tp mesh
+    mesh = make_mesh(n_devices=8, tp=2)
+    specs = lm_param_specs(lm_params)
+    mspecs = zero1_specs(specs, lm_params, dp_size=4)
+    opt_state = opt.init(lm_params)
+    opt_specs = opt_state_specs(opt_state, mspecs)
+    sh = lambda tree: jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), tree)
+    state_sh = TrainState(sh(specs), sh(opt_specs), NamedSharding(mesh, P()))
+    state_d = TrainState(
+        jax.device_put(lm_params, state_sh.params),
+        jax.device_put(opt_state, state_sh.opt_state),
+        jax.device_put(jnp.zeros((), jnp.int32), state_sh.step),
+    )
+    rep = NamedSharding(mesh, P())
+    step_sh = jax.jit(
+        make_train_step(lm, codec, opt),
+        in_shardings=(state_sh, rep, rep, NamedSharding(mesh, P("dp", None, None)), rep),
+        out_shardings=(state_sh, rep),
+    )
+    state2, m2 = step_sh(
+        state_d,
+        jax.device_put(codec_params, rep),
+        jax.device_put(cbs, rep),
+        jax.device_put(audio, NamedSharding(mesh, P("dp", None, None))),
+        jax.device_put(key, rep),
+    )
+    # loss must match the single-device run closely
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-3)
+    # updated params agree almost everywhere (Adam's 1/sqrt(v) amplifies tiny
+    # bf16 reduction-order differences to lr magnitude on a few elements)
+    a = jax.tree_util.tree_leaves(state1.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    total = ok = 0
+    for x, y in zip(a, b):
+        x, y = np.asarray(x), np.asarray(y)
+        close = np.isclose(x, y, atol=2e-3, rtol=2e-2)
+        ok += close.sum()
+        total += close.size
+    assert ok / total > 0.99, f"only {ok/total:.4%} of params match"

@@ -1,0 +1,636 @@
+"""Top-level inference API (reference vampnet/interface.py).
+
+`Interface` keeps the reference's public surface — encode / build_mask / vamp /
+coarse_vamp / coarse_to_fine / decode / load_finetuned / available_models /
+s2t / t2s — re-architected TPU-first:
+
+  * The codec encode/decode and the full MaskGIT loop are jitted; the
+    reference's host-side Python loop over sampling steps and chunks
+    (interface.py:397-441, transformer.py:823) disappears.
+  * Long audio is handled by **windowed chunking as a batch dimension**
+    (SURVEY.md §5.7): all 10s coarse windows (and all 3s c2f windows) of a
+    song are generated in ONE device call, so wall-clock is one forward-chain
+    instead of n_chunks of them.
+  * Sampling hyperparameters users sweep per request (temperature,
+    mask_temperature, top_p, sample_cutoff) are traced, so sweeps hit the same
+    compiled program.
+
+Checkpoints may be native .vtpu or reference torch .pth (converted on load).
+"""
+from __future__ import annotations
+
+import logging
+import math
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import mask as pmask
+from .audio import AudioSignal
+from .checkpoints import load_codec, load_lm
+from .codec import LAC, CodecConfig
+from .modules import LMConfig, VampNetLM
+from .sampling import build_generate_fn
+
+
+def signal_concat(audio_signals):
+    from .audio import signal_concat as _sc
+
+    return _sc(audio_signals)
+
+
+class _LoadedLM:
+    """An LM + params + chunk size (reference _load_model, interface.py:27-50)."""
+
+    def __init__(self, config: LMConfig, params, chunk_size_s: float):
+        self.config = config
+        self.model = VampNetLM(config)
+        self.params = params
+        self.chunk_size_s = chunk_size_s
+
+    @property
+    def n_codebooks(self) -> int:
+        return self.config.n_codebooks
+
+    @property
+    def n_conditioning_codebooks(self) -> int:
+        return self.config.n_conditioning_codebooks
+
+    @property
+    def mask_token(self) -> int:
+        return self.config.mask_token
+
+
+class Interface:
+    def __init__(
+        self,
+        coarse_ckpt: Optional[str] = None,
+        coarse_lora_ckpt: Optional[str] = None,
+        coarse2fine_ckpt: Optional[str] = None,
+        coarse2fine_lora_ckpt: Optional[str] = None,
+        codec_ckpt: Optional[str] = None,
+        wavebeat_ckpt: Optional[str] = None,
+        device: Optional[str] = None,
+        coarse_chunk_size_s: int = 10,
+        coarse2fine_chunk_size_s: int = 3,
+        compile: bool = True,
+    ):
+        assert codec_ckpt is not None, "must provide a codec checkpoint"
+        codec_cfg, codec_params = load_codec(codec_ckpt)
+        self._setup_codec(codec_cfg, codec_params)
+        self.codec_path = Path(codec_ckpt)
+
+        assert coarse_ckpt is not None, "must provide a coarse checkpoint"
+        cfg, params = load_lm(coarse_ckpt, coarse_lora_ckpt)
+        self.coarse = _LoadedLM(cfg, params, coarse_chunk_size_s)
+        self.coarse_path = Path(coarse_ckpt)
+
+        if coarse2fine_ckpt is not None:
+            cfg, params = load_lm(coarse2fine_ckpt, coarse2fine_lora_ckpt)
+            self.c2f: Optional[_LoadedLM] = _LoadedLM(cfg, params, coarse2fine_chunk_size_s)
+            self.c2f_path: Optional[Path] = Path(coarse2fine_ckpt)
+        else:
+            self.c2f = None
+            self.c2f_path = None
+
+        self.beat_tracker = None
+        if wavebeat_ckpt is not None:
+            from .beats import WaveBeat
+
+            self.beat_tracker = WaveBeat(wavebeat_ckpt)
+
+        self.device = device
+        self.loudness = -24.0
+        self._compile = compile
+        self._finish_setup()
+
+    # ---------- construction ----------
+
+    def _setup_codec(self, codec_cfg: CodecConfig, codec_params):
+        self.codec_config = codec_cfg
+        self.codec_model = LAC(codec_cfg)
+        self.codec_params = codec_params
+
+    def _finish_setup(self):
+        self._gen_cache: Dict[Any, Any] = {}
+        tables = self.codec_model.apply(
+            {"params": self.codec_params}, method="codebook_tables"
+        )
+        self._codebooks = tables  # (n_cb_codec, vocab, codebook_dim)
+
+        codec = self.codec_model
+
+        @jax.jit
+        def _encode(params, audio):
+            return codec.apply({"params": params}, audio, method="encode")["codes"]
+
+        mask_token = self.coarse.mask_token
+
+        @jax.jit
+        def _decode(params, z):
+            z0 = jnp.where(z == mask_token, 0, z)
+            audio = codec.apply({"params": params}, z0, method="decode_codes")
+            # silence frames whose every codebook is MASK (reference
+            # transformer.py:677-682)
+            all_masked = jnp.all(z == mask_token, axis=1)  # (b, T)
+            b, t = all_masked.shape
+            hop = codec.config.hop_length
+            audio = audio[:, : t * hop, :]
+            audio = audio.reshape(b, t, hop) * (~all_masked)[:, :, None]
+            return audio.reshape(b, t * hop, 1)
+
+        self._encode_jit = _encode
+        self._decode_jit = _decode
+
+    @classmethod
+    def from_modules(
+        cls,
+        codec_cfg: CodecConfig,
+        codec_params,
+        coarse_cfg: LMConfig,
+        coarse_params,
+        c2f_cfg: Optional[LMConfig] = None,
+        c2f_params=None,
+        coarse_chunk_size_s: int = 10,
+        coarse2fine_chunk_size_s: int = 3,
+        wavebeat_ckpt: Optional[str] = None,
+    ) -> "Interface":
+        """Construct directly from configs + param trees (tests, bench,
+        training-loop sampling)."""
+        self = cls.__new__(cls)
+        self._setup_codec(codec_cfg, codec_params)
+        self.codec_path = None
+        self.coarse = _LoadedLM(coarse_cfg, coarse_params, coarse_chunk_size_s)
+        self.coarse_path = None
+        if c2f_cfg is not None:
+            self.c2f = _LoadedLM(c2f_cfg, c2f_params, coarse2fine_chunk_size_s)
+        else:
+            self.c2f = None
+        self.c2f_path = None
+        self.beat_tracker = None
+        if wavebeat_ckpt is not None:
+            from .beats import WaveBeat
+
+            self.beat_tracker = WaveBeat(wavebeat_ckpt)
+        self.device = None
+        self.loudness = -24.0
+        self._compile = True
+        self._finish_setup()
+        return self
+
+    @classmethod
+    def default(cls) -> "Interface":
+        from .registry import download_codec, download_default
+
+        codec_path = download_codec()
+        coarse_path, c2f_path = download_default()
+        return cls(
+            coarse_ckpt=coarse_path, coarse2fine_ckpt=c2f_path, codec_ckpt=codec_path
+        )
+
+    @classmethod
+    def available_models(cls):
+        from .registry import list_finetuned
+
+        return list_finetuned() + ["default"]
+
+    def load_finetuned(self, name: str):
+        assert name in self.available_models(), f"{name} is not a valid model name"
+        from .registry import download_default, download_finetuned
+
+        if name == "default":
+            coarse_path, c2f_path = download_default()
+        else:
+            coarse_path, c2f_path = download_finetuned(name)
+        self.reload(coarse_ckpt=coarse_path, c2f_ckpt=c2f_path)
+
+    def reload(self, coarse_ckpt: Optional[str] = None, c2f_ckpt: Optional[str] = None):
+        """Hot-swap models with path-equality short-circuit
+        (reference interface.py:146-174). Same-architecture swaps reuse the
+        compiled programs (params are traced arguments)."""
+        if coarse_ckpt is not None and self.coarse_path != Path(coarse_ckpt):
+            cfg, params = load_lm(coarse_ckpt)
+            same_arch = cfg == self.coarse.config
+            self.coarse = _LoadedLM(cfg, params, self.coarse.chunk_size_s)
+            self.coarse_path = Path(coarse_ckpt)
+            if not same_arch:
+                self._gen_cache.clear()
+        if c2f_ckpt is not None and self.c2f_path != Path(c2f_ckpt):
+            cfg, params = load_lm(c2f_ckpt)
+            chunk = self.c2f.chunk_size_s if self.c2f is not None else 3
+            same_arch = self.c2f is not None and cfg == self.c2f.config
+            self.c2f = _LoadedLM(cfg, params, chunk)
+            self.c2f_path = Path(c2f_ckpt)
+            if not same_arch:
+                self._gen_cache.clear()
+
+    # ---------- time/token conversion ----------
+
+    def s2t(self, seconds):
+        """seconds -> tokens (reference interface.py:176)."""
+        sr, hop = self.codec_config.sample_rate, self.codec_config.hop_length
+        if isinstance(seconds, np.ndarray):
+            return np.ceil(seconds * sr / hop).astype(int)
+        return math.ceil(seconds * sr / hop)
+
+    def t2s(self, tokens):
+        sr, hop = self.codec_config.sample_rate, self.codec_config.hop_length
+        return tokens * hop / sr
+
+    def s2t2s(self, seconds):
+        return self.t2s(self.s2t(seconds))
+
+    def set_chunk_size(self, chunk_size_s: float):
+        self.coarse.chunk_size_s = chunk_size_s
+
+    def to(self, device):
+        self.device = device
+        return self
+
+    # ---------- encode / decode ----------
+
+    def _preprocess(self, signal: AudioSignal) -> AudioSignal:
+        """resample -> mono -> -24 LUFS -> peak cap -> pad to hop multiple
+        (reference interface.py:206-217)."""
+        signal = (
+            signal.clone()
+            .resample(self.codec_config.sample_rate)
+            .to_mono()
+            .normalize(self.loudness)
+            .ensure_max_of_audio(1.0)
+        )
+        hop = self.codec_config.hop_length
+        pad = (-signal.length) % hop
+        if pad:
+            signal.zero_pad(0, pad)
+        return signal
+
+    def encode(self, signal: AudioSignal) -> jnp.ndarray:
+        """AudioSignal -> codes (b, n_codebooks, T) (reference interface.py:219)."""
+        signal = self._preprocess(signal)
+        audio = jnp.asarray(signal.samples.transpose(0, 2, 1))  # (b, t, 1)
+        codes = self._encode_jit(self.codec_params, audio)
+        return codes
+
+    def decode(self, z) -> AudioSignal:
+        """codes -> AudioSignal (reference interface.py:203, transformer.py:661)."""
+        z = jnp.asarray(z)
+        audio = self._decode_jit(self.codec_params, z)
+        return AudioSignal(
+            np.asarray(audio).transpose(0, 2, 1), self.codec_config.sample_rate
+        )
+
+    # ---------- masks ----------
+
+    def build_mask(
+        self,
+        z,
+        sig: Optional[AudioSignal] = None,
+        rand_mask_intensity: float = 1.0,
+        prefix_s: float = 0.0,
+        suffix_s: float = 0.0,
+        periodic_prompt: int = 7,
+        periodic_prompt_width: int = 1,
+        onset_mask_width: int = 0,
+        _dropout: float = 0.0,
+        upper_codebook_mask: int = 3,
+        ncc: int = 0,
+        seed: Optional[int] = None,
+    ):
+        """Reference interface.py:454-489, same operator pipeline."""
+        key = _seed_key(seed)
+        k1, k2, k3 = jax.random.split(key, 3)
+        z = jnp.asarray(z)
+        mask = pmask.linear_random(k1, z, rand_mask_intensity)
+        mask = pmask.mask_and(
+            mask, pmask.inpaint(z, self.s2t(prefix_s), self.s2t(suffix_s))
+        )
+        pm = pmask.periodic_mask(
+            z, periodic_prompt, periodic_prompt_width, random_roll=True, key=k2
+        )
+        mask = pmask.mask_and(mask, pm)
+        if onset_mask_width > 0:
+            assert sig is not None, "must provide a signal to use onset mask"
+            from .beats import detect_onsets
+
+            onsets = detect_onsets(sig, hop_length=self.codec_config.hop_length)
+            mask = pmask.mask_and(
+                mask, pmask.onset_mask(onsets, z, width=onset_mask_width)
+            )
+        mask = pmask.dropout(k3, mask, _dropout)
+        mask = pmask.codebook_unmask(mask, ncc)
+        mask = pmask.codebook_mask(mask, int(upper_codebook_mask))
+        return mask
+
+    def make_beat_mask(
+        self,
+        signal: AudioSignal,
+        before_beat_s: float = 0.0,
+        after_beat_s: float = 0.02,
+        mask_downbeats: bool = True,
+        mask_upbeats: bool = True,
+        downbeat_downsample_factor: Optional[int] = None,
+        beat_downsample_factor: Optional[int] = None,
+        dropout: float = 0.0,
+        invert: bool = True,
+    ):
+        """Beat-synced mask (reference interface.py:241-322)."""
+        assert self.beat_tracker is not None, "No beat tracker loaded"
+        beats, downbeats = self.beat_tracker.extract_beats(signal)
+        beats_z = [int(self.s2t(b)) for b in beats]
+        downbeats_z = [int(self.s2t(b)) for b in downbeats]
+        beats_z = [b for b in beats_z if b not in set(downbeats_z)]
+
+        seq_len = self.s2t(signal.duration)
+        mask = np.zeros(seq_len, dtype=np.int64)
+        mask_b4 = self.s2t(before_beat_s)
+        mask_after = self.s2t(after_beat_s)
+
+        beat_downsample_factor = max(1, beat_downsample_factor or 1)
+        downbeat_downsample_factor = max(1, downbeat_downsample_factor or 1)
+        beats_z = beats_z[::beat_downsample_factor]
+        downbeats_z = downbeats_z[::downbeat_downsample_factor]
+
+        rng = np.random.default_rng()
+        idx_lists = []
+        if mask_upbeats:
+            idx_lists.append(beats_z)
+        if mask_downbeats:
+            idx_lists.append(downbeats_z)
+        for idxs in idx_lists:
+            for beat_idx in idxs:
+                lo, hi = int(beat_idx - mask_b4), int(beat_idx + mask_after)
+                lo, hi = max(lo, 0), min(hi, seq_len)
+                seg = (rng.random(hi - lo) >= dropout).astype(np.int64)
+                mask[lo:hi] = seg
+        mask = np.clip(mask, 0, 1)
+        if invert:
+            mask = 1 - mask
+        n_cb = self.c2f.n_codebooks if self.c2f is not None else self.coarse.n_codebooks
+        return jnp.asarray(np.tile(mask[None, None, :], (1, n_cb, 1)))
+
+    def snap_to_beats(self, signal: AudioSignal) -> AudioSignal:
+        assert self.beat_tracker is not None, "No beat tracker loaded"
+        beats, _ = self.beat_tracker.extract_beats(signal)
+        samples_begin = int(beats[0] * signal.sample_rate)
+        samples_end = int(beats[-1] * signal.sample_rate)
+        return signal.clone().trim(samples_begin, signal.length - samples_end)
+
+    # ---------- generation ----------
+
+    def _gen_fn(self, which: str, lm: _LoadedLM, **static):
+        key = (which, lm.config, tuple(sorted(static.items())))
+        if key not in self._gen_cache:
+            self._gen_cache[key] = build_generate_fn(lm.model, **static)
+        return self._gen_cache[key]
+
+    def _run_generate(
+        self,
+        lm: _LoadedLM,
+        start_tokens: jnp.ndarray,
+        mask: jnp.ndarray,
+        key: jax.Array,
+        _sampling_steps: int = 12,
+        temperature: float = 1.0,
+        mask_temperature: float = 10.5,
+        typical_filtering: bool = True,
+        typical_mass: float = 0.15,
+        typical_min_tokens: int = 64,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+        sample_cutoff: float = 1.0,
+        cfg_guidance: Optional[float] = None,
+        seed: Optional[int] = None,  # consumed upstream; accepted for parity
+        **_ignored,
+    ) -> jnp.ndarray:
+        which = "coarse" if lm is self.coarse else "c2f"
+        gen = self._gen_fn(
+            which,
+            lm,
+            sampling_steps=int(_sampling_steps),
+            typical_filtering=bool(typical_filtering),
+            typical_mass=float(typical_mass),
+            typical_min_tokens=int(typical_min_tokens),
+            top_k=top_k,
+            use_top_p=top_p is not None,
+            cfg_guidance=cfg_guidance,
+        )
+        codebooks = self._codebooks[: lm.n_codebooks]
+        return gen(
+            lm.params,
+            codebooks,
+            key,
+            start_tokens,
+            mask,
+            jnp.float32(temperature),
+            jnp.float32(mask_temperature),
+            jnp.float32(top_p if top_p is not None else 0.0),
+            jnp.float32(sample_cutoff),
+        )
+
+    def coarse_vamp(self, z, mask, return_mask=False, gen_fn=None, seed=None, **kwargs):
+        """Vamp the coarse codebooks with windowed chunking **as a batch dim**
+        (reference interface.py:382-452 runs chunks serially on the host)."""
+        z = jnp.asarray(z)
+        mask = jnp.asarray(mask)
+        n_coarse = self.coarse.n_codebooks
+        b, _, t = z.shape
+        cz = z[:, :n_coarse, :]
+        m = np.asarray(mask[:, :n_coarse, :])
+
+        chunk_len = self.s2t(self.coarse.chunk_size_s)
+        n_chunks = math.ceil(t / chunk_len)
+        pad = n_chunks * chunk_len - t
+
+        # chunk-edge pinning for seam continuity (reference interface.py:410-413)
+        m = m.copy()
+        for i in range(n_chunks):
+            lo, hi = i * chunk_len, min(t, (i + 1) * chunk_len)
+            if (m[:, :, lo:hi] == 0).any():
+                m[:, :, lo] = 0
+                m[:, :, hi - 1] = 0
+
+        czp = jnp.pad(cz, ((0, 0), (0, 0), (0, pad)))
+        mp = jnp.pad(jnp.asarray(m), ((0, 0), (0, 0), (0, pad)), constant_values=1)
+
+        # (b, C, n_chunks, L) -> (n_chunks*b, C, L): every window of every
+        # batch row generates in ONE jitted call
+        def to_chunks(x):
+            x = x.reshape(b, n_coarse, n_chunks, chunk_len)
+            return jnp.transpose(x, (2, 0, 1, 3)).reshape(
+                n_chunks * b, n_coarse, chunk_len
+            )
+
+        def from_chunks(x):
+            x = x.reshape(n_chunks, b, n_coarse, chunk_len)
+            return jnp.transpose(x, (1, 2, 0, 3)).reshape(
+                b, n_coarse, n_chunks * chunk_len
+            )[:, :, :t]
+
+        cz_chunks = to_chunks(czp)
+        m_chunks = to_chunks(mp)
+        cz_masked, m_chunks = pmask.apply_mask(cz_chunks, m_chunks, self.coarse.mask_token)
+
+        key = _seed_key(seed)
+        if gen_fn is not None:
+            c_vamp_chunks = gen_fn(
+                start_tokens=cz_masked, mask=m_chunks, key=key, **kwargs
+            )
+        else:
+            c_vamp_chunks = self._run_generate(
+                self.coarse, cz_masked, m_chunks, key, **kwargs
+            )
+
+        c_vamp = from_chunks(c_vamp_chunks)
+        cz_masked_full = from_chunks(cz_masked)
+
+        # re-append the fine codebooks (reference interface.py:444-447)
+        c_vamp = jnp.concatenate([c_vamp, z[:, n_coarse:, :]], axis=1)
+
+        if return_mask:
+            return c_vamp, cz_masked_full
+        return c_vamp
+
+    def coarse_to_fine(self, z, mask=None, return_mask=False, seed=None, **kwargs):
+        """Fill codebooks 4..14 in 3s windows, batched (reference
+        interface.py:327-380)."""
+        assert self.c2f is not None, "No coarse2fine model loaded"
+        z = jnp.asarray(z)
+        b, n_cb_in, length = z.shape
+        n_cb = self.c2f.n_codebooks
+        ncc = self.c2f.n_conditioning_codebooks
+        chunk_len = self.s2t(self.c2f.chunk_size_s)
+        n_chunks = math.ceil(length / chunk_len)
+        pad = n_chunks * chunk_len - length
+
+        if pad:
+            z = jnp.pad(z, ((0, 0), (0, 0), (0, pad)))
+            if mask is not None:
+                mask = jnp.pad(
+                    jnp.asarray(mask), ((0, 0), (0, 0), (0, pad)), constant_values=1
+                )
+
+        if n_cb - z.shape[1] > 0:
+            z = jnp.concatenate(
+                [z, jnp.zeros((b, n_cb - z.shape[1], z.shape[-1]), dtype=z.dtype)],
+                axis=1,
+            )
+
+        if mask is not None:
+            mask = jnp.asarray(mask)
+            mask = pmask.codebook_unmask(mask, ncc)
+        else:
+            mask = jnp.ones_like(z)
+            mask = pmask.codebook_unmask(mask, ncc)
+
+        t_pad = z.shape[-1]
+
+        def to_chunks(x):
+            x = x.reshape(b, n_cb, n_chunks, chunk_len)
+            return jnp.transpose(x, (2, 0, 1, 3)).reshape(n_chunks * b, n_cb, chunk_len)
+
+        def from_chunks(x):
+            x = x.reshape(n_chunks, b, n_cb, chunk_len)
+            return jnp.transpose(x, (1, 2, 0, 3)).reshape(b, n_cb, t_pad)
+
+        z_chunks = to_chunks(z)
+        m_chunks = to_chunks(mask)
+        z_masked, m_chunks = pmask.apply_mask(z_chunks, m_chunks, self.c2f.mask_token)
+
+        kwargs.setdefault("_sampling_steps", 2)  # reference interface.py:549
+        kwargs.setdefault("typical_filtering", True)
+        key = _seed_key(seed)
+        fine_chunks = self._run_generate(self.c2f, z_masked, m_chunks, key, **kwargs)
+        fine_z = from_chunks(fine_chunks)
+
+        if return_mask:
+            masked_z = pmask.apply_mask(fine_z, mask, self.c2f.mask_token)[0]
+            return fine_z[:, :, :length], masked_z[:, :, :length]
+        return fine_z[:, :, :length]
+
+    def vamp(
+        self,
+        codes,
+        mask,
+        batch_size: int = 1,
+        feedback_steps: int = 1,
+        time_stretch_factor: int = 1,
+        return_mask: bool = False,
+        seed: Optional[int] = None,
+        **kwargs,
+    ):
+        """The full two-stage pipeline (reference interface.py:491-562)."""
+        z = jnp.asarray(codes)
+        mask = jnp.asarray(mask)
+
+        # expand to batch (reference :504-505): all variations generate together
+        z = jnp.broadcast_to(z, (batch_size,) + z.shape[1:])
+        mask = jnp.broadcast_to(mask, (batch_size,) + mask.shape[1:])
+
+        # time stretch (reference :510-516)
+        if time_stretch_factor > 1:
+            z = jnp.repeat(z, time_stretch_factor, axis=-1)
+            mask = jnp.repeat(mask, time_stretch_factor, axis=-1)
+            added_mask = jnp.ones_like(mask).at[:, :, ::time_stretch_factor].set(0)
+            mask = (mask.astype(bool) | added_mask.astype(bool)).astype(jnp.int32)
+
+        key = _seed_key(seed)
+        zv = z
+        mask_z = mask
+        for i in range(feedback_steps):
+            key, sub = jax.random.split(key)
+            zv, mask_z = self.coarse_vamp(
+                zv, mask=mask, return_mask=True,
+                seed=int(jax.random.randint(sub, (), 0, 2**31 - 1)), **kwargs
+            )
+            mask_z = jnp.roll(mask_z, (i + 1) % feedback_steps, axis=-1)
+
+        if zv.shape[1] < z.shape[1]:
+            zv = jnp.concatenate([zv, z[:, self.coarse.n_codebooks:, :]], axis=1)
+
+        if self.c2f is not None:
+            key, sub = jax.random.split(key)
+            c2f_kwargs = {
+                k: v for k, v in kwargs.items()
+                if k in ("temperature", "mask_temperature", "typical_mass",
+                         "typical_min_tokens", "sample_cutoff")
+            }
+            zv, fine_zv_mask = self.coarse_to_fine(
+                zv, mask=mask, typical_filtering=True, _sampling_steps=2,
+                return_mask=True,
+                seed=int(jax.random.randint(sub, (), 0, 2**31 - 1)),
+                **c2f_kwargs,
+            )
+            mask_z = jnp.concatenate(
+                [mask_z[:, : self.coarse.n_codebooks, :],
+                 fine_zv_mask[:, self.coarse.n_codebooks:, :]],
+                axis=1,
+            )
+
+        if return_mask:
+            return zv, np.asarray(mask_z)
+        return zv
+
+    # ---------- utilities ----------
+
+    def visualize_codes(self, z):  # pragma: no cover - plotting utility
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(10, 7))
+        fig.add_subplot(2, 1, 1)
+        plt.imshow(
+            np.asarray(z[0]), aspect="auto", origin="lower", cmap="tab20",
+            interpolation="none",
+        )
+        plt.title("codes")
+        plt.ylabel("codebook index")
+        return fig
+
+
+def _seed_key(seed: Optional[int]) -> jax.Array:
+    if seed is None:
+        seed = int(np.random.randint(0, 2**31 - 1))
+    return jax.random.PRNGKey(int(seed))

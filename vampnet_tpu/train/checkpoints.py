@@ -1,0 +1,76 @@
+"""Training checkpoint manager on orbax (reference train.py:382-419 checkpoint
+tags + scripts' runs/<name>/<tag> layout; SURVEY.md §5.4).
+
+Layout:
+  runs/<name>/<tag>/state/      — orbax tree: params, opt_state, step
+  runs/<name>/<tag>/tracker.json
+  runs/<name>/<tag>/model.vtpu  — inference-ready LM checkpoint
+  runs/<name>/<tag>/lora.vtpu   — adapter-only tree (fine-tune runs,
+                                  reference train.py:399-406)
+Tags: latest (every save), best (val-loss, reference :395-397), <N>k at
+save_iters (:392-394). Saves are async (orbax); rank-0 only.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..checkpoints import save_lm, save_lora
+from ..modules.lora import lora_state_dict
+
+
+class CheckpointManager:
+    def __init__(self, save_path: str, is_main: bool = True):
+        self.root = Path(save_path).absolute()
+        self.is_main = is_main
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save(
+        self,
+        tag: str,
+        state,
+        lm_config,
+        tracker_state: Optional[dict] = None,
+        fine_tune: bool = False,
+    ):
+        if not self.is_main:
+            return
+        tag_dir = self.root / tag
+        state_dir = tag_dir / "state"
+        if state_dir.exists():
+            shutil.rmtree(state_dir)
+        tag_dir.mkdir(parents=True, exist_ok=True)
+        tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        self._ckptr.save(state_dir, tree)
+        self._ckptr.wait_until_finished()
+        if tracker_state is not None:
+            (tag_dir / "tracker.json").write_text(json.dumps(tracker_state))
+        save_lm(tag_dir / "model.vtpu", lm_config, state.params)
+        if fine_tune:
+            save_lora(tag_dir / "lora.vtpu", lora_state_dict(state.params))
+
+    def restore(self, tag: str, abstract_state) -> tuple:
+        """Returns (state_tree, tracker_state|None). `abstract_state` carries
+        shapes/dtypes/shardings for sharded restore."""
+        tag_dir = self.root / tag
+        abstract = {
+            "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state.params),
+            "opt_state": jax.tree.map(
+                ocp.utils.to_shape_dtype_struct, abstract_state.opt_state
+            ),
+            "step": ocp.utils.to_shape_dtype_struct(abstract_state.step),
+        }
+        tree = self._ckptr.restore(tag_dir / "state", abstract)
+        tracker_state = None
+        tpath = tag_dir / "tracker.json"
+        if tpath.exists():
+            tracker_state = json.loads(tpath.read_text())
+        return tree, tracker_state
+
+    def has_tag(self, tag: str) -> bool:
+        return (self.root / tag / "state").exists()

@@ -1,0 +1,279 @@
+"""Training entry point (reference scripts/exp/train.py:538-746), TPU-native.
+
+Differences from the reference by design:
+  * one jitted device program per step (codec encode + mask + LM fwd/bwd +
+    AdamW/Noam) — no per-step host sync beyond metrics fetch;
+  * distribution via a ("dp","tp") jax mesh + GSPMD instead of DDP: batch
+    sharded over dp, matmuls optionally over tp, Adam moments ZeRO-1-sharded
+    (reference's ZeroRedundancyOptimizer, train.py:588-590);
+  * orbax checkpoints with latest/best/Nk tags + adapter-only LoRA trees.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .. import config as cfglib
+from ..checkpoints import load_codec
+from ..codec import LAC
+from ..modules import LMConfig, VampNetLM
+from ..modules.lora import lora_param_filter
+from ..parallel import lm_param_specs, make_mesh, opt_state_specs, zero1_specs
+from .checkpoints import CheckpointManager
+from .datasets import AudioDataset, AudioLoader, BatchLoader
+from .step import TrainState, make_optimizer, make_train_step
+from .tracker import Tracker
+
+
+def build_lm_config(args, fine_tune: bool = False) -> LMConfig:
+    g = lambda attr, default: cfglib.bound(args, "VampNet", attr, default)
+    return LMConfig(
+        n_heads=g("n_heads", 20),
+        n_layers=g("n_layers", 16),
+        n_codebooks=g("n_codebooks", 9),
+        n_conditioning_codebooks=g("n_conditioning_codebooks", 0),
+        latent_dim=g("latent_dim", 8),
+        embedding_dim=g("embedding_dim", 1280),
+        vocab_size=g("vocab_size", 1024),
+        dropout=g("dropout", 0.1),
+        lora_r=int(args.get("lora_r", 8)) if fine_tune else 0,
+    )
+
+
+def build_datasets(args, sample_rate: int):
+    def build(scope_name):
+        with cfglib.scope(args, scope_name):
+            loader = AudioLoader(
+                **cfglib.bind_kwargs(args, "AudioLoader", sources=[], relative_path="", shuffle=True)
+            )
+            return AudioDataset(
+                loader,
+                sample_rate,
+                **cfglib.bind_kwargs(
+                    args,
+                    "AudioDataset",
+                    duration=10.0,
+                    loudness_cutoff=-30.0,
+                    n_examples=10_000_000,
+                    without_replacement=True,
+                ),
+            )
+
+    return build("train"), build("val")
+
+
+def train(args: dict, seed: int = 0) -> TrainState:
+    save_path = Path(args.get("save_path", "ckpt"))
+    fine_tune = bool(args.get("fine_tune", False))
+    num_iters = int(args.get("num_iters", 1000))
+    batch_size = int(args.get("batch_size", 8))
+    val_freq = int(args.get("val_freq", 1000))
+    sample_freq = int(args.get("sample_freq", 10000))
+    save_iters = list(args.get("save_iters", []))
+    num_workers = int(args.get("num_workers", 4))
+    grad_clip = float(args.get("grad_clip_val", 5.0))
+    label_smoothing = float(args.get("CrossEntropyLoss.label_smoothing", 0.1))
+    resume = bool(args.get("resume", False))
+    tag = args.get("tag", "latest")
+
+    # ----- models -----
+    codec_cfg, codec_params = load_codec(args["codec_ckpt"])
+    codec = LAC(codec_cfg)
+    lm_cfg = build_lm_config(args, fine_tune=fine_tune)
+    lm = VampNetLM(lm_cfg)
+    assert lm_cfg.vocab_size == codec_cfg.codebook_size, (
+        f"vocab size {lm_cfg.vocab_size} must match codec codebook size "
+        f"{codec_cfg.codebook_size}"  # reference train.py:583-585
+    )
+
+    codebooks = codec.apply({"params": codec_params}, method="codebook_tables")[
+        : lm_cfg.n_codebooks
+    ]
+    key = jax.random.PRNGKey(seed)
+    codes0 = jnp.zeros((1, lm_cfg.n_codebooks, 16), jnp.int32)
+    if fine_tune and args.get("init_ckpt"):
+        from ..checkpoints import load_lm
+
+        base_cfg, lm_params = load_lm(args["init_ckpt"])
+        if base_cfg.lora_r != lm_cfg.lora_r:
+            # graft fresh adapters onto the base weights
+            init = lm.init(key, codes0, codebooks, method="forward_codes")["params"]
+            import flax.traverse_util as tu
+
+            flat = tu.flatten_dict(init)
+            base = tu.flatten_dict(lm_params)
+            for k in flat:
+                if k in base:
+                    flat[k] = base[k]
+            lm_params = tu.unflatten_dict(flat)
+    else:
+        lm_params = lm.init(key, codes0, codebooks, method="forward_codes")["params"]
+
+    # ----- optimizer -----
+    lora_filter = lora_param_filter(lm_params) if fine_tune else None
+    optimizer = make_optimizer(
+        lm_cfg.embedding_dim,
+        factor=float(args.get("NoamScheduler.factor", 2.0)),
+        warmup=int(args.get("NoamScheduler.warmup", 10000)),
+        grad_clip=grad_clip,
+        lora_filter=lora_filter,
+    )
+    opt_state = optimizer.init(lm_params)
+
+    # ----- mesh + shardings -----
+    tp = int(args.get("mesh.tp", 1) or 1)
+    dp_req = args.get("mesh.dp")
+    if dp_req is None:
+        # largest dp that divides the batch (unused devices are dropped)
+        dp_req = len(jax.devices()) // tp
+        while dp_req > 1 and batch_size % dp_req != 0:
+            dp_req -= 1
+    dp_req = int(dp_req)
+    mesh = make_mesh(n_devices=dp_req * tp, dp=dp_req, tp=tp)
+    dp = mesh.shape["dp"]
+    assert batch_size % dp == 0, f"batch_size {batch_size} not divisible by dp {dp}"
+    param_specs = lm_param_specs(lm_params)
+    moment_specs = zero1_specs(param_specs, lm_params, dp_size=dp)
+    opt_specs = opt_state_specs(opt_state, moment_specs)
+    sh = lambda tree: jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), tree)
+    rep = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("dp", None, None))
+
+    state = TrainState(
+        params=jax.device_put(lm_params, sh(param_specs)),
+        opt_state=jax.device_put(opt_state, sh(opt_specs)),
+        step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+    )
+    codec_params = jax.device_put(codec_params, rep)
+    codebooks = jax.device_put(codebooks, rep)
+
+    state_sh = TrainState(sh(param_specs), sh(opt_specs), rep)
+    train_step = jax.jit(
+        make_train_step(lm, codec, optimizer, label_smoothing=label_smoothing),
+        in_shardings=(state_sh, rep, rep, batch_sharding, rep),
+        out_shardings=(state_sh, rep),
+    )
+
+    # eval step: loss only, no update
+    from .step import loss_and_metrics
+    from ..util import codebook_flatten
+    from .. import mask as pmask
+
+    def eval_step(params, codec_params, codebooks, audio, key):
+        k_r, k_mask = jax.random.split(key)
+        codes = codec.apply({"params": codec_params}, audio, method="encode")["codes"]
+        z = codes[:, : lm_cfg.n_codebooks, :]
+        r = jax.random.uniform(k_r, (z.shape[0],))
+        mask = pmask.codebook_unmask(
+            pmask.random(k_mask, z, r), lm_cfg.n_conditioning_codebooks
+        )
+        z_masked, mask = pmask.apply_mask(z, mask, lm_cfg.mask_token)
+        logits = lm.apply(
+            {"params": params}, z_masked, codebooks, method="forward_codes"
+        )
+        ncc = lm_cfg.n_conditioning_codebooks
+        _, metrics = loss_and_metrics(
+            logits, z[:, ncc:, :], codebook_flatten(mask[:, ncc:, :]), r,
+            label_smoothing=label_smoothing,
+        )
+        return metrics
+
+    eval_step = jax.jit(eval_step)
+
+    # ----- data -----
+    train_data, val_data = build_datasets(args, codec_cfg.sample_rate)
+
+    # ----- tracker / checkpoints / resume -----
+    is_main = jax.process_index() == 0
+    tracker = Tracker(
+        log_dir=str(save_path / "tb"), log_file=str(save_path / "metrics.jsonl"),
+        rank=0 if is_main else 1,
+    )
+    ckpt = CheckpointManager(save_path, is_main=is_main)
+    if resume and ckpt.has_tag(tag):
+        tree, tracker_state = ckpt.restore(tag, state)
+        state = TrainState(tree["params"], tree["opt_state"], tree["step"])
+        if tracker_state:
+            tracker.load_state_dict(tracker_state)
+        print(f"resumed from {save_path}/{tag} at step {int(state.step)}", flush=True)
+
+    cfglib.dump_args(args, save_path / "args.yml")
+    start_step = int(state.step)
+    rng = np.random.default_rng(seed + jax.process_index())
+
+    loader = BatchLoader(
+        train_data, batch_size, num_workers=num_workers,
+        start_idx=start_step * batch_size,
+    )
+    it = iter(loader)
+
+    t_last = time.time()
+    for step_i in range(start_step, num_iters):
+        try:
+            batch = next(it)
+        except StopIteration:
+            it = iter(
+                BatchLoader(train_data, batch_size, num_workers=num_workers)
+            )
+            batch = next(it)
+        audio = jax.device_put(jnp.asarray(batch), batch_sharding)
+        step_key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        state, metrics = train_step(state, codec_params, codebooks, audio, step_key)
+        tracker.step = step_i + 1
+        tracker.log("train", {k: v for k, v in metrics.items()})
+
+        if (step_i + 1) % 50 == 0:
+            dt = time.time() - t_last
+            t_last = time.time()
+            tracker.print_status("train", extra=f"{50/dt:.2f} it/s")
+
+        if (step_i + 1) % val_freq == 0:
+            val_metrics = validate(
+                eval_step, state.params, codec_params, codebooks, val_data,
+                batch_size, rng,
+            )
+            tracker.log("val", val_metrics)
+            tracker.print_status("val")
+            ckpt.save("latest", state, lm_cfg, tracker.state_dict(), fine_tune)
+            if tracker.is_best("val", "loss"):
+                ckpt.save("best", state, lm_cfg, tracker.state_dict(), fine_tune)
+            if (step_i + 1) in save_iters:
+                ckpt.save(
+                    f"{(step_i + 1) // 1000}k", state, lm_cfg,
+                    tracker.state_dict(), fine_tune,
+                )
+
+    ckpt.save("latest", state, lm_cfg, tracker.state_dict(), fine_tune)
+    tracker.close()
+    return state
+
+
+def validate(eval_step, params, codec_params, codebooks, val_data, batch_size, rng, n_batches=4):
+    out = {}
+    count = 0
+    loader = BatchLoader(val_data, batch_size, num_workers=2)
+    for i, batch in enumerate(loader):
+        if i >= n_batches:
+            break
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        m = eval_step(params, codec_params, codebooks, jnp.asarray(batch), key)
+        for k, v in m.items():
+            out[k] = out.get(k, 0.0) + float(v)
+        count += 1
+    return {k: v / max(count, 1) for k, v in out.items()}
+
+
+def main(argv=None):
+    args = cfglib.parse_args(argv)
+    return train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""The jitted training step (reference scripts/exp/train.py:237-307).
+
+One device program per step: frozen-codec encode -> schedule-ratio random mask
+-> LM forward (bf16, dropout on) -> masked cross-entropy with label smoothing
+-> grad clip -> AdamW + Noam. Under a ("dp","tp") mesh the same step becomes
+the distributed program: batch sharded over dp, matmuls over tp (parameter
+specs from vampnet_tpu.parallel), Adam moments ZeRO-1-sharded over dp.
+
+LoRA fine-tuning = the same step with an optax.masked optimizer that updates
+only lora_a/lora_b leaves (reference train.py:696 mark_only_lora_as_trainable).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import mask as pmask
+from ..util import codebook_flatten
+from .scheduler import noam_schedule
+
+IGNORE_INDEX = -100  # reference scripts/exp/train.py:68
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def make_optimizer(
+    d_model: int,
+    factor: float = 2.0,
+    warmup: int = 10000,
+    weight_decay: float = 0.01,
+    grad_clip: float = 5.0,
+    lora_filter: Optional[Any] = None,
+) -> optax.GradientTransformation:
+    """AdamW + grad clip + Noam schedule (reference conf/vampnet.yml:
+    AdamW.lr scaled by NoamScheduler factor=2.0 warmup=10000; clip 5.0 at
+    train.py:296). With `lora_filter`, only adapter leaves are updated."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(grad_clip),
+        optax.adamw(
+            learning_rate=noam_schedule(d_model, factor=factor, warmup=warmup),
+            b1=0.9,
+            b2=0.999,
+            weight_decay=weight_decay,
+        ),
+    )
+    if lora_filter is not None:
+        labels = jax.tree_util.tree_map(
+            lambda is_lora: "lora" if is_lora else "frozen", lora_filter
+        )
+        tx = optax.multi_transform(
+            {"lora": tx, "frozen": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def loss_and_metrics(
+    logits: jnp.ndarray,  # (b, t, c_predict, vocab) fp32
+    target: jnp.ndarray,  # (b, c_predict, t) int
+    flat_mask: jnp.ndarray,  # (b, t*c) int — 1 where loss counts
+    r: jnp.ndarray,  # (b,) mask ratios, for bucketed accuracy
+    label_smoothing: float = 0.1,
+):
+    """Masked CE + the reference's stratified accuracy metrics
+    (reference train.py:184-213,268-278)."""
+    b, t, c, v = logits.shape
+    logits_flat = logits.reshape(b, t * c, v)
+    target_flat = codebook_flatten(target)
+
+    log_probs = jax.nn.log_softmax(logits_flat, axis=-1)
+    onehot = jax.nn.one_hot(target_flat, v)
+    smoothed = onehot * (1 - label_smoothing) + label_smoothing / v
+    ce = -(smoothed * log_probs).sum(-1)  # (b, t*c)
+
+    w = flat_mask.astype(jnp.float32)
+    loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+    metrics = {"loss": loss}
+    pred = jnp.argmax(logits_flat, axis=-1)
+    top25 = jnp.argsort(-logits_flat, axis=-1)[..., :25]
+    hit1 = (pred == target_flat).astype(jnp.float32)
+    hit25 = (top25 == target_flat[..., None]).any(-1).astype(jnp.float32)
+    for lo, hi in ((0.0, 0.5), (0.5, 1.0)):
+        in_bucket = ((r >= lo) & (r < hi)).astype(jnp.float32)[:, None]
+        for name, sel in (("masked", w), ("unmasked", 1.0 - w)):
+            sel_b = sel * in_bucket
+            denom = jnp.maximum(sel_b.sum(), 1.0)
+            metrics[f"accuracy-{lo}-{hi}/top1/{name}"] = (hit1 * sel_b).sum() / denom
+            metrics[f"accuracy-{lo}-{hi}/top25/{name}"] = (hit25 * sel_b).sum() / denom
+    return loss, metrics
+
+
+def make_train_step(
+    lm_model,
+    codec_model,
+    optimizer: optax.GradientTransformation,
+    label_smoothing: float = 0.1,
+) -> Callable:
+    """Returns train_step(state, codec_params, codebooks, audio, key)
+    -> (state, metrics). Encode-on-the-fly with the frozen codec
+    (reference train.py:245-248), then masked-token LM training."""
+    n_cb = lm_model.config.n_codebooks
+    ncc = lm_model.config.n_conditioning_codebooks
+    mask_token = lm_model.config.mask_token
+
+    def train_step(state: TrainState, codec_params, codebooks, audio, key):
+        k_r, k_mask, k_drop = jax.random.split(key, 3)
+        codes = codec_model.apply(
+            {"params": codec_params}, audio, method="encode"
+        )["codes"]
+        z = jax.lax.stop_gradient(codes[:, :n_cb, :])
+        b = z.shape[0]
+
+        r = jax.random.uniform(k_r, (b,))
+        mask = pmask.random(k_mask, z, r)
+        mask = pmask.codebook_unmask(mask, ncc)
+        z_masked, mask = pmask.apply_mask(z, mask, mask_token)
+
+        flat_mask = codebook_flatten(mask[:, ncc:, :])
+        target = z[:, ncc:, :]
+
+        def loss_fn(params):
+            logits = lm_model.apply(
+                {"params": params},
+                z_masked,
+                codebooks,
+                deterministic=False,
+                rngs={"dropout": k_drop},
+                method="forward_codes",
+            )
+            return loss_and_metrics(
+                logits, target, flat_mask, r, label_smoothing=label_smoothing
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
