@@ -7,6 +7,8 @@ start, so the env var alone is not enough; jax.config wins.
 """
 import os
 
+os.environ.setdefault("HF_HUB_OFFLINE", "1")  # zero-egress: no hub retries
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,290 @@
+"""Serving-stack tests: continuous batching engine, OSC protocol + unloop
+bridge over real UDP sockets, app vamp core, token telephone state machine."""
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampnet_tpu.audio import AudioSignal
+from vampnet_tpu.codec import LAC, CodecConfig
+from vampnet_tpu.interface import Interface
+from vampnet_tpu.modules import LMConfig, VampNetLM
+from vampnet_tpu.serve import VampEngine, VampRequest
+from vampnet_tpu.serve.osc import (
+    Dispatcher,
+    OSCClient,
+    OSCServer,
+    decode_message,
+    encode_message,
+)
+
+CODEC_CFG = CodecConfig(
+    sample_rate=8000, encoder_dim=8, encoder_rates=(2, 4, 4),
+    decoder_dim=64, decoder_rates=(4, 4, 2), n_codebooks=4,
+    codebook_size=32, codebook_dim=4,
+)
+COARSE_CFG = LMConfig(
+    n_heads=2, n_layers=1, n_codebooks=2, latent_dim=4,
+    embedding_dim=32, vocab_size=32, dropout=0.0,
+)
+C2F_CFG = LMConfig(
+    n_heads=2, n_layers=1, n_codebooks=4, n_conditioning_codebooks=2,
+    latent_dim=4, embedding_dim=32, vocab_size=32, dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def interface():
+    codec = LAC(CODEC_CFG)
+    audio = jnp.zeros((1, CODEC_CFG.hop_length * 4, 1))
+    codec_params = codec.init(jax.random.PRNGKey(0), audio)["params"]
+
+    def init_lm(cfg, seed):
+        model = VampNetLM(cfg)
+        codes = jnp.zeros((1, cfg.n_codebooks, 8), jnp.int32)
+        cbs = jnp.zeros((cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim))
+        return model.init(jax.random.PRNGKey(seed), codes, cbs, method="forward_codes")["params"]
+
+    return Interface.from_modules(
+        codec_cfg=CODEC_CFG, codec_params=codec_params,
+        coarse_cfg=COARSE_CFG, coarse_params=init_lm(COARSE_CFG, 1),
+        c2f_cfg=C2F_CFG, c2f_params=init_lm(C2F_CFG, 2),
+        coarse_chunk_size_s=0.2, coarse2fine_chunk_size_s=0.1,
+    )
+
+
+def _sig(seconds=0.3, sr=8000, freq=220.0):
+    t = np.arange(int(seconds * sr)) / sr
+    return AudioSignal(
+        (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32)[None, None, :], sr
+    )
+
+
+# ---------------- engine ----------------
+
+
+def test_engine_single_request(interface):
+    eng = VampEngine(interface, max_wait_ms=1.0)
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+    out = eng.vamp(VampRequest(codes=codes, mask=mask, seed=1, sampling_steps=2), timeout=120)
+    assert out.shape == codes.shape
+    assert (out != interface.coarse.mask_token).all()
+    eng.close()
+
+
+def test_engine_batches_concurrent_heterogeneous(interface):
+    eng = VampEngine(interface, max_wait_ms=200.0, max_batch=4)
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+    # different temperatures/seeds but same static config -> one device batch
+    futs = [
+        eng.submit(VampRequest(
+            codes=codes, mask=mask, seed=i, temperature=0.8 + 0.2 * i,
+            sampling_steps=2,
+        ))
+        for i in range(3)
+    ]
+    outs = [f.result(timeout=240) for f in futs]
+    for o in outs:
+        assert o.shape == codes.shape
+    assert eng.stats["requests"] == 3
+    assert eng.stats["batched_requests"] >= 2, "requests should share a batch"
+    eng.close()
+
+
+def test_engine_mixed_static_configs(interface):
+    eng = VampEngine(interface, max_wait_ms=200.0, max_batch=4)
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+    f1 = eng.submit(VampRequest(codes=codes, mask=mask, sampling_steps=2))
+    f2 = eng.submit(VampRequest(codes=codes, mask=mask, sampling_steps=3))
+    assert f1.result(240).shape == codes.shape
+    assert f2.result(240).shape == codes.shape
+    eng.close()
+
+
+# ---------------- OSC ----------------
+
+
+def test_osc_encode_decode_roundtrip():
+    msg = encode_message("/process", [1, "vampnet", "/tmp/a.wav", 3.5, True, b"xy"])
+    addr, args = decode_message(msg)
+    assert addr == "/process"
+    assert args[0] == 1 and args[1] == "vampnet" and args[2] == "/tmp/a.wav"
+    assert abs(args[3] - 3.5) < 1e-6 and args[4] is True and args[5] == b"xy"
+
+
+def test_osc_server_client_udp():
+    got = []
+    done = threading.Event()
+    disp = Dispatcher()
+    disp.map("/hello", lambda addr, *args: (got.append((addr, args)), done.set()))
+    server = OSCServer(("127.0.0.1", 0), disp)
+    server.start()
+    client = OSCClient("127.0.0.1", server.address[1])
+    client.send_message("/hello", [42, "world"])
+    assert done.wait(timeout=5)
+    assert got[0] == ("/hello", (42, "world"))
+    server.shutdown()
+
+
+# ---------------- app core ----------------
+
+
+def test_vamp_core(interface):
+    from vampnet_tpu.serve.app import PRESETS, vamp_core
+
+    sig = _sig(0.3)
+    res = vamp_core(
+        interface, (sig.sample_rate, sig.samples[0, 0]), seed=7,
+        sampling_steps=2, batch_size=2, **{
+            k: v for k, v in PRESETS["medium variation"].items()
+            if k in ("periodic_p", "n_mask_codebooks", "dropout")
+        },
+    )
+    assert len(res.variations) == 2
+    sr, wav = res.variations[0]
+    assert sr == 8000 and wav.ndim == 1 and len(wav) > 0
+    assert res.seed == 7
+    assert res.mask.shape[0] == 2
+
+
+def test_vamp_core_requires_audio(interface):
+    from vampnet_tpu.serve.app import vamp_core
+
+    with pytest.raises(ValueError, match="no input audio"):
+        vamp_core(interface, None)
+
+
+# ---------------- unloop bridge over real UDP ----------------
+
+
+def test_unloop_bridge_roundtrip(interface, tmp_path):
+    from vampnet_tpu.serve.unloop import UnloopBridge
+
+    results = []
+    logs = []
+    done = threading.Event()
+    # "Max side" server receives bridge messages
+    max_disp = Dispatcher()
+    max_disp.map("/process-result", lambda a, *r: (results.append(r), done.set()))
+    max_disp.map("/log", lambda a, *r: logs.append(r))
+    max_disp.set_default_handler(lambda a, *r: None)
+    max_server = OSCServer(("127.0.0.1", 0), max_disp)
+    max_server.start()
+
+    bridge = UnloopBridge(
+        ip="127.0.0.1", s_port=max_server.address[1], r_port=0,
+        interface=interface, out_dir=tmp_path,
+    )
+    server = bridge.osc_manager.make_server()
+    server.start()
+
+    wav_path = tmp_path / "loop.wav"
+    _sig(0.3, sr=48000, freq=330).write(wav_path)
+
+    # the Max patch's 18-argument /process message (client.py:119-135)
+    client = OSCClient("127.0.0.1", server.address[1])
+    client.send_message("/process", [
+        "q1", "vampnet", str(wav_path), "default", 5, 0.0, 3,
+        200,  # looplength_ms
+        1, 0.15, 8, 2, 0, 2, 1.0, 0.0, 0, 1,
+    ])
+    assert done.wait(timeout=300), "no /process-result received"
+    q_id, *files = results[0]
+    assert q_id == "q1" and len(files) == 2
+    for f in files:
+        out = AudioSignal(f)
+        assert out.sample_rate == 48000
+        assert out.length > 0
+    server.shutdown()
+    max_server.shutdown()
+
+
+def test_unloop_heartbeat(interface, tmp_path):
+    from vampnet_tpu.serve.unloop import UnloopBridge
+
+    beats = []
+    done = threading.Event()
+    max_disp = Dispatcher()
+    max_disp.map("/heartbeat", lambda a, *r: (beats.append(r), done.set()))
+    max_disp.set_default_handler(lambda a, *r: None)
+    max_server = OSCServer(("127.0.0.1", 0), max_disp)
+    max_server.start()
+
+    bridge = UnloopBridge(
+        ip="127.0.0.1", s_port=max_server.address[1], r_port=0,
+        interface=interface, out_dir=tmp_path,
+    )
+    server = bridge.osc_manager.make_server()
+    server.start()
+    OSCClient("127.0.0.1", server.address[1]).send_message("/heartbeat", "ping")
+    assert done.wait(timeout=10)
+    assert beats[0] == ("pong",)
+    server.shutdown()
+    max_server.shutdown()
+
+
+# ---------------- token telephone ----------------
+
+
+def test_tt_trigger_and_release():
+    from vampnet_tpu.serve.token_telephone import State, check_if_record
+
+    st = State(sample_rate=8000, duration=1.0, hold_seconds=0.05)
+    loud = np.random.default_rng(0).normal(0, 0.5, 256)
+    quiet = np.zeros(256) + 1e-5
+
+    check_if_record(st, loud)
+    assert st.recording and st.record_ramp_in
+    st.record_ramp_in = False
+
+    # quiet block starts the hold period; after hold expires, release fires
+    check_if_record(st, quiet)
+    assert st.cur_hold_time is not None
+    time.sleep(0.06)
+    released = []
+    check_if_record(st, quiet, on_release_callback=lambda s: released.append(True))
+    assert st.record_ramp_out and st.input_ready and released
+
+
+def test_tt_looper_block_roundtrip():
+    from vampnet_tpu.serve.token_telephone import State, looper_process_block
+
+    st = State(sample_rate=8000, blocksize=64, duration=0.5)
+    st.loopbuf[:, :] = 0.25  # pretend there's a loop
+    block = np.zeros((4, 64))
+    out = looper_process_block(st, block)
+    assert out.shape == (4, 64)
+    np.testing.assert_allclose(out, 0.25)  # playing the loop
+    assert st.pos == 64
+
+
+def test_tt_telephone_step(interface):
+    from vampnet_tpu.serve.token_telephone import State, telephone_step
+
+    st = State(sample_rate=8000, duration=0.3)
+    st.looper_in[:] = 0.1 * np.sin(
+        2 * np.pi * 220 * np.arange(st.looper_in.shape[1]) / 8000
+    )
+    st.input_ready = True
+
+    calls = []
+
+    def fake_vamp(sig):
+        calls.append(sig)
+        return sig
+
+    next_ch = telephone_step(st, fake_vamp)
+    assert next_ch == 1 and st.tt_cur_ch == 1
+    assert st.recording_locked  # locked until the cycle returns to the input channel
+    assert len(calls) == 1
+    assert np.abs(st.loopbuf[1]).sum() > 0  # vamped audio landed in channel 1
+    # complete the cycle -> unlock
+    for _ in range(3):
+        telephone_step(st, fake_vamp)
+    assert not st.recording_locked

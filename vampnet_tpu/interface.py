@@ -419,16 +419,29 @@ class Interface:
             cfg_guidance=cfg_guidance,
         )
         codebooks = self._codebooks[: lm.n_codebooks]
+
+        # per-request (b,) arrays must tile across chunk-expanded batch rows
+        b_total = start_tokens.shape[0]
+
+        def expand(v, default=0.0):
+            v = jnp.asarray(default if v is None else v, dtype=jnp.float32)
+            if v.ndim == 1 and v.shape[0] != b_total:
+                assert b_total % v.shape[0] == 0, (
+                    f"per-row param of size {v.shape[0]} does not divide batch {b_total}"
+                )
+                v = jnp.tile(v, b_total // v.shape[0])
+            return v
+
         return gen(
             lm.params,
             codebooks,
             key,
             start_tokens,
             mask,
-            jnp.float32(temperature),
-            jnp.float32(mask_temperature),
-            jnp.float32(top_p if top_p is not None else 0.0),
-            jnp.float32(sample_cutoff),
+            expand(temperature, 1.0),
+            expand(mask_temperature, 10.5),
+            expand(top_p),
+            expand(sample_cutoff, 1.0),
         )
 
     def coarse_vamp(self, z, mask, return_mask=False, gen_fn=None, seed=None, **kwargs):

@@ -84,6 +84,8 @@ def _top_p_filter(logits: jnp.ndarray, top_p) -> jnp.ndarray:
     """
     p = jax.nn.softmax(logits, axis=-1)
     top_p = jnp.asarray(top_p)
+    while top_p.ndim < logits.ndim:
+        top_p = top_p[..., None]
     lo = jnp.zeros(p.shape[:-1] + (1,), p.dtype)
     hi = jnp.max(p, axis=-1, keepdims=True)
 
@@ -132,7 +134,10 @@ def sample_from_logits(
     probs = jax.nn.softmax(scaled, axis=-1)
     sampled = jax.random.categorical(key, scaled, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
-    token = jnp.where(jnp.asarray(sample), sampled, greedy)
+    sample = jnp.asarray(sample)
+    while sample.ndim < sampled.ndim:  # per-row flag broadcasts over positions
+        sample = sample[..., None]
+    token = jnp.where(sample, sampled, greedy)
 
     if return_probs:
         token_probs = jnp.take_along_axis(probs, token[..., None], axis=-1)[..., 0]

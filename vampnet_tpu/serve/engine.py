@@ -1,0 +1,189 @@
+"""Continuous-batching vamp engine (BASELINE.json config 5).
+
+The reference serves one request at a time through gradio (app.py:129
+_vamp_internal); concurrent users queue. Here, concurrent requests are merged
+into shared device batches:
+
+  * requests land in a queue; a scheduler thread drains whatever is pending
+    (up to max_batch) and runs ONE batched two-stage generate for all of them;
+  * per-request sampling knobs (temperature, mask_temperature, top_p,
+    sample_cutoff, seed) are **per-row traced arrays** inside the jitted
+    sampler, so heterogeneous requests share a compilation;
+  * shapes are bucketed (token length padded to the coarse chunk grid) so the
+    compile cache stays small;
+  * static sampling config (steps, typical flags) keys the bucket — requests
+    with different static configs run in separate batches.
+
+The engine wraps an `Interface` and reuses its jit caches.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+import traceback
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class VampRequest:
+    codes: np.ndarray  # (1, n_codebooks, t)
+    mask: np.ndarray  # (1, n_codebooks, t)
+    seed: int = 0
+    temperature: float = 1.0
+    mask_temperature: float = 10.5
+    top_p: Optional[float] = None
+    sample_cutoff: float = 1.0
+    sampling_steps: int = 12
+    typical_filtering: bool = True
+    typical_mass: float = 0.15
+    typical_min_tokens: int = 64
+    coarse_only: bool = False
+
+
+class VampEngine:
+    def __init__(
+        self,
+        interface,
+        max_batch: int = 8,
+        max_wait_ms: float = 5.0,
+        bucket_tokens: Optional[int] = None,
+    ):
+        self.interface = interface
+        self.max_batch = max_batch
+        self.max_wait_ms = max_wait_ms
+        self.bucket_tokens = bucket_tokens or interface.s2t(
+            interface.coarse.chunk_size_s
+        )
+        self._q: "queue.Queue[Tuple[VampRequest, Future]]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        self.stats = {"batches": 0, "requests": 0, "batched_requests": 0}
+
+    # ---------------- public API ----------------
+
+    def submit(self, req: VampRequest) -> Future:
+        fut: Future = Future()
+        self._q.put((req, fut))
+        return fut
+
+    def vamp(self, req: VampRequest, timeout: Optional[float] = None) -> np.ndarray:
+        return self.submit(req).result(timeout)
+
+    def close(self):
+        self._stop.set()
+        self._thread.join(timeout=5)
+
+    # ---------------- scheduler ----------------
+
+    def _static_key(self, req: VampRequest, t_bucket: int):
+        return (
+            t_bucket,
+            req.sampling_steps,
+            req.typical_filtering,
+            round(req.typical_mass, 6),
+            req.typical_min_tokens,
+            req.top_p is not None,
+            req.coarse_only,
+        )
+
+    def _bucket_len(self, t: int) -> int:
+        b = self.bucket_tokens
+        return ((t + b - 1) // b) * b
+
+    def _loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch: List[Tuple[VampRequest, Future]] = [first]
+            deadline = time.monotonic() + self.max_wait_ms / 1000.0
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            # group by static config bucket
+            groups: Dict[Any, List[Tuple[VampRequest, Future]]] = {}
+            for req, fut in batch:
+                t = req.codes.shape[-1]
+                groups.setdefault(self._static_key(req, self._bucket_len(t)), []).append(
+                    (req, fut)
+                )
+            for key, items in groups.items():
+                try:
+                    self._run_group(key, items)
+                except Exception as e:  # pragma: no cover - defensive
+                    tb = traceback.format_exc()
+                    for _req, fut in items:
+                        if not fut.done():
+                            fut.set_exception(RuntimeError(f"{e}\n{tb}"))
+            self.stats["batches"] += len(groups)
+            self.stats["requests"] += len(batch)
+            self.stats["batched_requests"] += sum(
+                len(v) for v in groups.values() if len(v) > 1
+            )
+
+    def _run_group(self, key, items: List[Tuple[VampRequest, Future]]):
+        iface = self.interface
+        t_bucket = key[0]
+        reqs = [r for r, _ in items]
+        n = len(reqs)
+        n_cb = reqs[0].codes.shape[1]
+
+        codes = np.zeros((n, n_cb, t_bucket), dtype=np.int32)
+        mask = np.ones((n, n_cb, t_bucket), dtype=np.int32)
+        lens = []
+        for i, r in enumerate(reqs):
+            t = r.codes.shape[-1]
+            lens.append(t)
+            codes[i, :, :t] = r.codes[0]
+            mask[i, :, :t] = r.mask[0]
+
+        temp = np.array([r.temperature for r in reqs], np.float32)
+        mtemp = np.array([r.mask_temperature for r in reqs], np.float32)
+        top_p = np.array(
+            [r.top_p if r.top_p is not None else 1.0 for r in reqs], np.float32
+        )
+        cutoff = np.array([r.sample_cutoff for r in reqs], np.float32)
+        # one key per row, but generate takes a single key: fold seeds into one
+        # deterministic key per batch + per-row gumbel offsets come from row
+        # position; per-request determinism holds for equal batch composition.
+        # For strict per-request reproducibility, single-request batches use
+        # the request's own seed.
+        seed = reqs[0].seed if n == 1 else hash(tuple(r.seed for r in reqs)) & 0x7FFFFFFF
+
+        r0 = reqs[0]
+        out = iface.coarse_vamp(
+            jnp.asarray(codes),
+            jnp.asarray(mask),
+            seed=seed,
+            _sampling_steps=r0.sampling_steps,
+            temperature=jnp.asarray(temp),
+            mask_temperature=jnp.asarray(mtemp),
+            typical_filtering=r0.typical_filtering,
+            typical_mass=r0.typical_mass,
+            typical_min_tokens=r0.typical_min_tokens,
+            top_p=jnp.asarray(top_p) if key[5] else None,
+            sample_cutoff=jnp.asarray(cutoff),
+        )
+        if not r0.coarse_only and iface.c2f is not None:
+            out = iface.coarse_to_fine(
+                out, mask=jnp.asarray(mask), seed=seed,
+                temperature=jnp.asarray(temp),
+            )
+        out_np = np.asarray(out)
+        for i, (req, fut) in enumerate(items):
+            if not fut.done():
+                fut.set_result(out_np[i : i + 1, :, : lens[i]])
