@@ -408,7 +408,17 @@ class VampNetLM(nn.Module):
         return self.embedding.embed_codes(codes, codebooks)
 
     def forward_codes(
-        self, codes: jnp.ndarray, codebooks: jnp.ndarray, deterministic: bool = True
+        self,
+        codes: jnp.ndarray,
+        codebooks: jnp.ndarray,
+        ctrls=None,
+        ctrl_masks=None,
+        deterministic: bool = True,
     ):
         """codes -> logits in one call (sampler hot path)."""
-        return self(self.from_codes(codes, codebooks), deterministic=deterministic)
+        return self(
+            self.from_codes(codes, codebooks),
+            ctrls=ctrls,
+            ctrl_masks=ctrl_masks,
+            deterministic=deterministic,
+        )

@@ -52,14 +52,19 @@ def generate(
     top_p=None,
     sample_cutoff: float = 1.0,
     cfg_guidance: Optional[float] = None,
+    ctrls=None,
+    ctrl_masks=None,
+    cfg_scale: float = 3.0,
 ) -> jnp.ndarray:
     """Run the MaskGIT loop; returns sampled codes (b, n_codebooks, t).
 
-    `forward_fn` maps masked codes (b, C, T) -> logits (b, T, C_infer, V)
-    in fp32 (already bound to params + codec codebooks). Static arguments
-    (sampling_steps, filter structure) specialize the trace; `temperature`,
-    `mask_temperature`, `top_p`, `sample_cutoff` may be traced scalars or
-    per-row (b,) arrays.
+    `forward_fn` maps masked codes (b, C, T) [+ optional ctrls/ctrl_masks]
+    -> logits (b, T, C_infer, V) in fp32 (already bound to params + codec
+    codebooks). Static arguments (sampling_steps, filter structure) specialize
+    the trace; `temperature`, `mask_temperature`, `top_p`, `sample_cutoff`
+    may be traced scalars or per-row (b,) arrays. With `ctrls`, every forward
+    runs conditioned+unconditioned halves and applies CFG with `cfg_scale`
+    (reference transformer.py:722-733).
     """
     z = start_tokens.astype(jnp.int32)
     nb, n_cb, t = z.shape
@@ -95,7 +100,19 @@ def generate(
         r_scalar = (i + 1).astype(jnp.float32) / steps
         r = jnp.full((b,), r_scalar)
 
-        logits = forward_fn(z_masked)  # (b, T, n_infer, V) fp32
+        if ctrls is not None:
+            # ctrls CFG: batch cond (real ctrl masks) + uncond (blank masks)
+            z2 = jnp.concatenate([z_masked, z_masked], axis=0)
+            cm2 = {
+                k: jnp.concatenate([v, jnp.zeros_like(v)], axis=0)
+                for k, v in ctrl_masks.items()
+            }
+            c2 = {k: jnp.concatenate([v, v], axis=0) for k, v in ctrls.items()}
+            both = forward_fn(z2, c2, cm2)
+            cond, uncond = both[:b], both[b:]
+            logits = uncond + cfg_scale * (cond - uncond)
+        else:
+            logits = forward_fn(z_masked)  # (b, T, n_infer, V) fp32
         if cfg_guidance is not None:
             cond, uncond = logits[:nb], logits[nb:]
             guided = cfg_guidance * cond + cfg_guidance * (1 - uncond)
@@ -176,10 +193,12 @@ def build_generate_fn(
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, codebooks, key, start_tokens, mask, temperature,
-           mask_temperature, top_p, sample_cutoff):
-        def forward(z_masked):
+           mask_temperature, top_p, sample_cutoff, ctrls=None, ctrl_masks=None,
+           cfg_scale=3.0):
+        def forward(z_masked, c=None, cm=None):
             return model.apply(
-                {"params": params}, z_masked, codebooks, method="forward_codes"
+                {"params": params}, z_masked, codebooks, c, cm,
+                method="forward_codes",
             )
 
         return generate(
@@ -199,6 +218,9 @@ def build_generate_fn(
             top_p=top_p if use_top_p else None,
             sample_cutoff=sample_cutoff,
             cfg_guidance=cfg_guidance,
+            ctrls=ctrls,
+            ctrl_masks=ctrl_masks,
+            cfg_scale=cfg_scale,
         )
 
     return fn
