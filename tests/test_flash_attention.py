@@ -1,0 +1,63 @@
+"""Pallas fused-attention kernel vs the XLA reference path (interpret mode on
+CPU; the real-TPU compiled path is exercised by bench.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vampnet_tpu.ops.attention import dot_product_attention
+from vampnet_tpu.ops.flash_attention import flash_attention_with_bias
+
+
+def _inputs(b=2, t=100, h=4, d=64, seed=0, dtype=jnp.float32):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, t, h, d), dtype)
+    k = jax.random.normal(ks[1], (b, t, h, d), dtype)
+    v = jax.random.normal(ks[2], (b, t, h, d), dtype)
+    bias = jax.random.normal(ks[3], (h, t, t), jnp.float32)
+    return q, k, v, bias
+
+
+@pytest.mark.parametrize("t", [100, 128, 262])
+def test_matches_xla_with_bias(t):
+    q, k, v, bias = _inputs(t=t)
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_matches_xla_no_bias():
+    q, k, v, _ = _inputs(t=96)
+    ref = dot_product_attention(q, k, v, impl="xla")
+    out = flash_attention_with_bias(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_matches_xla_with_mask():
+    q, k, v, bias = _inputs(t=64)
+    mask = jnp.ones((2, 64, 64), jnp.int32).at[:, :, 40:].set(0)
+    ref = dot_product_attention(q, k, v, bias=bias, mask=mask, impl="xla")
+    out = flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-4)
+
+
+def test_bf16_inputs():
+    q, k, v, bias = _inputs(t=128, dtype=jnp.bfloat16)
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=3e-2, rtol=3e-2
+    )
+
+
+def test_padding_does_not_leak():
+    # t=100 pads to 128 keys inside the kernel; padded keys must not receive
+    # attention mass
+    q, k, v, bias = _inputs(t=100)
+    out1 = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
+    # change values beyond t (simulated by growing inputs with huge values)
+    q2 = jnp.concatenate([q, 100 * jnp.ones((2, 28, 4, 64))], axis=1)[:, :100]
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(
+        flash_attention_with_bias(q2, k, v, bias=bias, interpret=True)
+    ), atol=1e-6)

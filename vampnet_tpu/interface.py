@@ -300,30 +300,55 @@ class Interface:
         ncc: int = 0,
         seed: Optional[int] = None,
     ):
-        """Reference interface.py:454-489, same operator pipeline."""
+        """Reference interface.py:454-489, same operator pipeline.
+
+        The whole pipeline runs as ONE jitted program (cached per static
+        config): dispatching ~15 tiny eager ops per request is pure overhead
+        on a remote-compiled TPU. Traced inputs: key, z, intensity,
+        prefix/suffix token counts, onset keep-vector.
+        """
         key = _seed_key(seed)
-        k1, k2, k3 = jax.random.split(key, 3)
         z = jnp.asarray(z)
-        mask = pmask.linear_random(k1, z, rand_mask_intensity)
-        mask = pmask.mask_and(
-            mask, pmask.inpaint(z, self.s2t(prefix_s), self.s2t(suffix_s))
-        )
-        pm = pmask.periodic_mask(
-            z, periodic_prompt, periodic_prompt_width, random_roll=True, key=k2
-        )
-        mask = pmask.mask_and(mask, pm)
+
+        onset_keep = None
         if onset_mask_width > 0:
             assert sig is not None, "must provide a signal to use onset mask"
             from .beats import detect_onsets
 
             onsets = detect_onsets(sig, hop_length=self.codec_config.hop_length)
-            mask = pmask.mask_and(
-                mask, pmask.onset_mask(onsets, z, width=onset_mask_width)
-            )
-        mask = pmask.dropout(k3, mask, _dropout)
-        mask = pmask.codebook_unmask(mask, ncc)
-        mask = pmask.codebook_mask(mask, int(upper_codebook_mask))
-        return mask
+            onset_mask = pmask.onset_mask(onsets, np.zeros(z.shape), width=onset_mask_width)
+            onset_keep = jnp.asarray(np.asarray(onset_mask))
+
+        cache_key = (
+            "build_mask", int(periodic_prompt), int(periodic_prompt_width),
+            float(_dropout), int(upper_codebook_mask), int(ncc),
+            onset_keep is not None,
+        )
+        if cache_key not in self._gen_cache:
+
+            def _build(key, z, intensity, n_prefix, n_suffix, onset):
+                k1, k2, k3 = jax.random.split(key, 3)
+                mask = pmask.linear_random(k1, z, intensity)
+                mask = pmask.mask_and(mask, pmask.inpaint(z, n_prefix, n_suffix))
+                pm = pmask.periodic_mask(
+                    z, int(periodic_prompt), int(periodic_prompt_width),
+                    random_roll=True, key=k2,
+                )
+                mask = pmask.mask_and(mask, pm)
+                if onset is not None:
+                    mask = pmask.mask_and(mask, onset)
+                mask = pmask.dropout(k3, mask, float(_dropout))
+                mask = pmask.codebook_unmask(mask, int(ncc))
+                mask = pmask.codebook_mask(mask, int(upper_codebook_mask))
+                return mask
+
+            self._gen_cache[cache_key] = jax.jit(_build)
+        return self._gen_cache[cache_key](
+            key, z,
+            jnp.float32(rand_mask_intensity),
+            jnp.int32(self.s2t(prefix_s)), jnp.int32(self.s2t(suffix_s)),
+            onset_keep,
+        )
 
     def make_beat_mask(
         self,
@@ -444,6 +469,59 @@ class Interface:
             expand(sample_cutoff, 1.0),
         )
 
+    def _chunk_fns(self, which: str, n_cb: int, b: int, t: int, chunk_len: int,
+                   mask_token: int, pin_edges: bool):
+        """Cached jitted pre/post programs for chunk-as-batch windowing.
+
+        pre:  (cz (b,C,t), m (b,C,t)) -> (masked chunks, mask chunks), with
+              chunk-edge pinning (reference interface.py:410-413) vectorized.
+        post: chunks (nc*b,C,L) -> (b,C,t).
+        One compile per shape — per-op eager dispatch is prohibitively slow on
+        a remote-compiled TPU backend.
+        """
+        n_chunks = math.ceil(t / chunk_len)
+        pad = n_chunks * chunk_len - t
+        key = ("chunk", which, n_cb, b, t, chunk_len, mask_token, pin_edges)
+        if key in self._gen_cache:
+            return self._gen_cache[key], n_chunks
+
+        lo_idx = np.array([i * chunk_len for i in range(n_chunks)])
+        hi_idx = np.array(
+            [min(t, (i + 1) * chunk_len) - 1 for i in range(n_chunks)]
+        )
+
+        @jax.jit
+        def pre(cz, m):
+            if pin_edges:
+                mp0 = jnp.pad(m, ((0, 0), (0, 0), (0, pad)), constant_values=1)
+                chunked = mp0.reshape(b, n_cb, n_chunks, chunk_len)
+                has_zero = jnp.any(chunked == 0, axis=(0, 1, 3))  # (n_chunks,)
+                pin = jnp.where(has_zero, 0, 1).astype(m.dtype)
+                m = m.at[:, :, lo_idx].min(pin[None, None, :])
+                m = m.at[:, :, hi_idx].min(pin[None, None, :])
+            czp = jnp.pad(cz, ((0, 0), (0, 0), (0, pad)))
+            mp = jnp.pad(m, ((0, 0), (0, 0), (0, pad)), constant_values=1)
+
+            def to_chunks(x):
+                x = x.reshape(b, n_cb, n_chunks, chunk_len)
+                return jnp.transpose(x, (2, 0, 1, 3)).reshape(
+                    n_chunks * b, n_cb, chunk_len
+                )
+
+            cz_c, m_c = to_chunks(czp), to_chunks(mp)
+            masked = jnp.where(m_c.astype(bool), mask_token, cz_c)
+            return masked, m_c
+
+        @jax.jit
+        def post(x):
+            x = x.reshape(n_chunks, b, n_cb, chunk_len)
+            return jnp.transpose(x, (1, 2, 0, 3)).reshape(
+                b, n_cb, n_chunks * chunk_len
+            )[:, :, :t]
+
+        self._gen_cache[key] = (pre, post)
+        return (pre, post), n_chunks
+
     def coarse_vamp(self, z, mask, return_mask=False, gen_fn=None, seed=None, **kwargs):
         """Vamp the coarse codebooks with windowed chunking **as a batch dim**
         (reference interface.py:382-452 runs chunks serially on the host)."""
@@ -451,41 +529,11 @@ class Interface:
         mask = jnp.asarray(mask)
         n_coarse = self.coarse.n_codebooks
         b, _, t = z.shape
-        cz = z[:, :n_coarse, :]
-        m = np.asarray(mask[:, :n_coarse, :])
-
         chunk_len = self.s2t(self.coarse.chunk_size_s)
-        n_chunks = math.ceil(t / chunk_len)
-        pad = n_chunks * chunk_len - t
-
-        # chunk-edge pinning for seam continuity (reference interface.py:410-413)
-        m = m.copy()
-        for i in range(n_chunks):
-            lo, hi = i * chunk_len, min(t, (i + 1) * chunk_len)
-            if (m[:, :, lo:hi] == 0).any():
-                m[:, :, lo] = 0
-                m[:, :, hi - 1] = 0
-
-        czp = jnp.pad(cz, ((0, 0), (0, 0), (0, pad)))
-        mp = jnp.pad(jnp.asarray(m), ((0, 0), (0, 0), (0, pad)), constant_values=1)
-
-        # (b, C, n_chunks, L) -> (n_chunks*b, C, L): every window of every
-        # batch row generates in ONE jitted call
-        def to_chunks(x):
-            x = x.reshape(b, n_coarse, n_chunks, chunk_len)
-            return jnp.transpose(x, (2, 0, 1, 3)).reshape(
-                n_chunks * b, n_coarse, chunk_len
-            )
-
-        def from_chunks(x):
-            x = x.reshape(n_chunks, b, n_coarse, chunk_len)
-            return jnp.transpose(x, (1, 2, 0, 3)).reshape(
-                b, n_coarse, n_chunks * chunk_len
-            )[:, :, :t]
-
-        cz_chunks = to_chunks(czp)
-        m_chunks = to_chunks(mp)
-        cz_masked, m_chunks = pmask.apply_mask(cz_chunks, m_chunks, self.coarse.mask_token)
+        (pre, post), _ = self._chunk_fns(
+            "coarse", n_coarse, b, t, chunk_len, self.coarse.mask_token, pin_edges=True
+        )
+        cz_masked, m_chunks = pre(z[:, :n_coarse, :], mask[:, :n_coarse, :].astype(jnp.int32))
 
         key = _seed_key(seed)
         if gen_fn is not None:
@@ -497,14 +545,13 @@ class Interface:
                 self.coarse, cz_masked, m_chunks, key, **kwargs
             )
 
-        c_vamp = from_chunks(c_vamp_chunks)
-        cz_masked_full = from_chunks(cz_masked)
-
+        c_vamp = post(c_vamp_chunks)
         # re-append the fine codebooks (reference interface.py:444-447)
-        c_vamp = jnp.concatenate([c_vamp, z[:, n_coarse:, :]], axis=1)
+        if z.shape[1] > n_coarse:
+            c_vamp = jnp.concatenate([c_vamp, z[:, n_coarse:, :]], axis=1)
 
         if return_mask:
-            return c_vamp, cz_masked_full
+            return c_vamp, post(cz_masked)
         return c_vamp
 
     def coarse_to_fine(self, z, mask=None, return_mask=False, seed=None, **kwargs):
@@ -516,53 +563,40 @@ class Interface:
         n_cb = self.c2f.n_codebooks
         ncc = self.c2f.n_conditioning_codebooks
         chunk_len = self.s2t(self.c2f.chunk_size_s)
-        n_chunks = math.ceil(length / chunk_len)
-        pad = n_chunks * chunk_len - length
 
-        if pad:
-            z = jnp.pad(z, ((0, 0), (0, 0), (0, pad)))
-            if mask is not None:
-                mask = jnp.pad(
-                    jnp.asarray(mask), ((0, 0), (0, 0), (0, pad)), constant_values=1
-                )
+        key_prep = ("c2f_prep", b, n_cb_in, length, mask is not None)
+        if key_prep not in self._gen_cache:
 
-        if n_cb - z.shape[1] > 0:
-            z = jnp.concatenate(
-                [z, jnp.zeros((b, n_cb - z.shape[1], z.shape[-1]), dtype=z.dtype)],
-                axis=1,
-            )
+            @jax.jit
+            def prep(z, mask):
+                if n_cb - n_cb_in > 0:
+                    z = jnp.concatenate(
+                        [z, jnp.zeros((b, n_cb - n_cb_in, length), dtype=z.dtype)],
+                        axis=1,
+                    )
+                if mask is None:
+                    mask = jnp.ones_like(z)
+                mask = pmask.codebook_unmask(mask.astype(jnp.int32), ncc)
+                return z, mask
 
-        if mask is not None:
-            mask = jnp.asarray(mask)
-            mask = pmask.codebook_unmask(mask, ncc)
-        else:
-            mask = jnp.ones_like(z)
-            mask = pmask.codebook_unmask(mask, ncc)
+            self._gen_cache[key_prep] = prep
+        z, mask = self._gen_cache[key_prep](z, jnp.asarray(mask) if mask is not None else None)
 
-        t_pad = z.shape[-1]
-
-        def to_chunks(x):
-            x = x.reshape(b, n_cb, n_chunks, chunk_len)
-            return jnp.transpose(x, (2, 0, 1, 3)).reshape(n_chunks * b, n_cb, chunk_len)
-
-        def from_chunks(x):
-            x = x.reshape(n_chunks, b, n_cb, chunk_len)
-            return jnp.transpose(x, (1, 2, 0, 3)).reshape(b, n_cb, t_pad)
-
-        z_chunks = to_chunks(z)
-        m_chunks = to_chunks(mask)
-        z_masked, m_chunks = pmask.apply_mask(z_chunks, m_chunks, self.c2f.mask_token)
+        (pre, post), _ = self._chunk_fns(
+            "c2f", n_cb, b, length, chunk_len, self.c2f.mask_token, pin_edges=False
+        )
+        z_masked, m_chunks = pre(z, mask)
 
         kwargs.setdefault("_sampling_steps", 2)  # reference interface.py:549
         kwargs.setdefault("typical_filtering", True)
         key = _seed_key(seed)
         fine_chunks = self._run_generate(self.c2f, z_masked, m_chunks, key, **kwargs)
-        fine_z = from_chunks(fine_chunks)
+        fine_z = post(fine_chunks)
 
         if return_mask:
-            masked_z = pmask.apply_mask(fine_z, mask, self.c2f.mask_token)[0]
-            return fine_z[:, :, :length], masked_z[:, :, :length]
-        return fine_z[:, :, :length]
+            masked_z = jnp.where(mask.astype(bool), self.c2f.mask_token, fine_z)
+            return fine_z, masked_z
+        return fine_z
 
     def vamp(
         self,

@@ -48,7 +48,7 @@ class LMConfig:
     lora_r: int = 0
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     ctrl_dims: Optional[Tuple[Tuple[str, int], ...]] = None
     cfg_dropout_prob: float = 0.2
 
@@ -125,7 +125,7 @@ class MultiHeadRelativeAttention(nn.Module):
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     lora_r: int = 0
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -208,7 +208,7 @@ class TransformerLayer(nn.Module):
     lora_r: int = 0
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -247,7 +247,7 @@ class TransformerStack(nn.Module):
     lora_r: int = 0
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
-    attention_impl: str = "xla"
+    attention_impl: str = "auto"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 

@@ -23,6 +23,8 @@ def dot_product_attention(
     mask: Optional[jnp.ndarray] = None,  # (b, t_q, t_k) or (b, 1, t_q, t_k); 0 = blocked
     impl: str = "xla",
 ) -> jnp.ndarray:
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention_with_bias
 
