@@ -43,6 +43,9 @@ class CodecConfig:
     n_codebooks: int = 14
     codebook_size: int = 1024
     codebook_dim: int = 8
+    # conv compute dtype: "bfloat16" halves encode/decode HBM traffic; the
+    # RVQ nearest-neighbor search always runs fp32 for code stability
+    compute_dtype: str = "float32"
 
     @property
     def hop_length(self) -> int:
@@ -58,31 +61,33 @@ class ResidualUnit(nn.Module):
 
     dim: int
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         pad = ((7 - 1) * self.dilation) // 2
         y = Snake1d(name="snake_1")(x)
         y = WNConv1d(self.dim, kernel_size=7, dilation=self.dilation, padding=pad,
-                     name="conv_1")(y)
+                     dtype=self.dtype, name="conv_1")(y)
         y = Snake1d(name="snake_2")(y)
-        y = WNConv1d(self.dim, kernel_size=1, name="conv_2")(y)
+        y = WNConv1d(self.dim, kernel_size=1, dtype=self.dtype, name="conv_2")(y)
         return x + y
 
 
 class EncoderBlock(nn.Module):
     dim: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = ResidualUnit(self.dim // 2, dilation=1, name="res_1")(x)
-        x = ResidualUnit(self.dim // 2, dilation=3, name="res_2")(x)
-        x = ResidualUnit(self.dim // 2, dilation=9, name="res_3")(x)
+        x = ResidualUnit(self.dim // 2, dilation=1, dtype=self.dtype, name="res_1")(x)
+        x = ResidualUnit(self.dim // 2, dilation=3, dtype=self.dtype, name="res_2")(x)
+        x = ResidualUnit(self.dim // 2, dilation=9, dtype=self.dtype, name="res_3")(x)
         x = Snake1d(name="snake")(x)
         x = WNConv1d(
             self.dim, kernel_size=2 * self.stride, stride=self.stride,
-            padding=math.ceil(self.stride / 2), name="conv",
+            padding=math.ceil(self.stride / 2), dtype=self.dtype, name="conv",
         )(x)
         return x
 
@@ -93,30 +98,32 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, x):  # (b, t, 1) -> (b, t/hop, latent_dim)
         cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype)
         d = cfg.encoder_dim
-        x = WNConv1d(d, kernel_size=7, padding=3, name="conv_in")(x)
+        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, name="conv_in")(x)
         for i, stride in enumerate(cfg.encoder_rates):
             d *= 2
-            x = EncoderBlock(d, stride, name=f"block_{i}")(x)
+            x = EncoderBlock(d, stride, dtype=dt, name=f"block_{i}")(x)
         x = Snake1d(name="snake_out")(x)
-        x = WNConv1d(cfg.latent_dim, kernel_size=3, padding=1, name="conv_out")(x)
-        return x
+        x = WNConv1d(cfg.latent_dim, kernel_size=3, padding=1, dtype=dt, name="conv_out")(x)
+        return x.astype(jnp.float32)
 
 
 class DecoderBlock(nn.Module):
     output_dim: int
     stride: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         x = Snake1d(name="snake")(x)
         x = WNConvTranspose1d(
             self.output_dim, kernel_size=2 * self.stride, stride=self.stride,
-            padding=math.ceil(self.stride / 2), name="conv_t",
+            padding=math.ceil(self.stride / 2), dtype=self.dtype, name="conv_t",
         )(x)
-        x = ResidualUnit(self.output_dim, dilation=1, name="res_1")(x)
-        x = ResidualUnit(self.output_dim, dilation=3, name="res_2")(x)
-        x = ResidualUnit(self.output_dim, dilation=9, name="res_3")(x)
+        x = ResidualUnit(self.output_dim, dilation=1, dtype=self.dtype, name="res_1")(x)
+        x = ResidualUnit(self.output_dim, dilation=3, dtype=self.dtype, name="res_2")(x)
+        x = ResidualUnit(self.output_dim, dilation=9, dtype=self.dtype, name="res_3")(x)
         return x
 
 
@@ -126,14 +133,15 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):  # (b, t/hop, latent_dim) -> (b, t, 1)
         cfg = self.config
+        dt = jnp.dtype(cfg.compute_dtype)
         d = cfg.decoder_dim
-        x = WNConv1d(d, kernel_size=7, padding=3, name="conv_in")(z)
+        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, name="conv_in")(z)
         for i, stride in enumerate(cfg.decoder_rates):
             out_dim = d // (2 ** (i + 1))
-            x = DecoderBlock(out_dim, stride, name=f"block_{i}")(x)
+            x = DecoderBlock(out_dim, stride, dtype=dt, name=f"block_{i}")(x)
         x = Snake1d(name="snake_out")(x)
-        x = WNConv1d(1, kernel_size=7, padding=3, name="conv_out")(x)
-        return jnp.tanh(x)
+        x = WNConv1d(1, kernel_size=7, padding=3, dtype=dt, name="conv_out")(x)
+        return jnp.tanh(x.astype(jnp.float32))
 
 
 class VectorQuantize(nn.Module):

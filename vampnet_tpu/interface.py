@@ -250,6 +250,44 @@ class Interface:
         self.device = device
         return self
 
+    def shard(self, mesh=None, tp: int = 1):
+        """Shard the LMs over a device mesh for multi-chip inference.
+
+        Two axes (SURVEY.md §2.3):
+          * "tp" — tensor parallel: attention heads / FFN hidden sharded
+            Megatron-style (vampnet_tpu.parallel.lm_param_specs); cuts
+            single-request latency.
+          * "dp" — data parallel: params replicated, request batches sharded;
+            multiplies serving throughput (pair with serve.VampEngine).
+
+        GSPMD propagates the layouts through the jitted generate programs —
+        no generate-code changes. Compiled programs are dropped so the next
+        call re-specializes to the sharded layouts.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import lm_param_specs, make_mesh
+
+        if mesh is None:
+            mesh = make_mesh(tp=tp)
+        self._mesh = mesh
+
+        def shard_lm(lm: _LoadedLM):
+            specs = lm_param_specs(lm.params)
+            sh = jax.tree_util.tree_map(
+                lambda s: NamedSharding(mesh, s), specs
+            )
+            lm.params = jax.device_put(lm.params, sh)
+
+        shard_lm(self.coarse)
+        if self.c2f is not None:
+            shard_lm(self.c2f)
+        rep = NamedSharding(mesh, P())
+        self.codec_params = jax.device_put(self.codec_params, rep)
+        self._codebooks = jax.device_put(self._codebooks, rep)
+        self._gen_cache.clear()
+        return self
+
     # ---------- encode / decode ----------
 
     def _preprocess(self, signal: AudioSignal) -> AudioSignal:
