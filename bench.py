@@ -23,7 +23,21 @@ import numpy as np
 
 
 def main():
+    import os
+
     import jax
+
+    # persistent compilation cache: fresh processes reuse prior XLA/Mosaic
+    # compiles (the remote-compile path costs minutes per large program)
+    cache_dir = os.environ.get(
+        "VAMPNET_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from vampnet_tpu.audio import AudioSignal
@@ -70,14 +84,12 @@ def main():
     sig = AudioSignal(wav[None, None, :], sr)
 
     def run(seed):
-        codes = iface.encode(sig)
-        mask = iface.build_mask(
-            codes, periodic_prompt=7, upper_codebook_mask=3, seed=seed
+        # single-dispatch path: encode -> mask -> coarse -> c2f -> decode is
+        # ONE device program; only the waveform crosses back to the host
+        out = iface.vamp_e2e(
+            sig, batch_size=batch_size, seed=seed,
+            periodic_prompt=7, upper_codebook_mask=3, _sampling_steps=12,
         )
-        zv = iface.vamp(
-            codes, mask, batch_size=batch_size, seed=seed, _sampling_steps=12
-        )
-        out = iface.decode(zv)
         out.samples.sum()  # host sync
         return out
 

@@ -156,6 +156,22 @@ def test_vamp_time_stretch(interface):
     assert zv.shape[-1] == codes.shape[-1] * 2
 
 
+def test_vamp_e2e_single_dispatch(interface):
+    sig = _sig(0.3)
+    out = interface.vamp_e2e(
+        sig, batch_size=2, seed=5, _sampling_steps=3, upper_codebook_mask=2
+    )
+    assert out.batch_size == 2
+    assert out.sample_rate == 16000
+    # length matches the padded-to-hop input
+    assert out.samples.shape[-1] == interface._preprocess(sig).length
+    # deterministic per seed
+    out2 = interface.vamp_e2e(
+        sig, batch_size=2, seed=5, _sampling_steps=3, upper_codebook_mask=2
+    )
+    np.testing.assert_array_equal(out.samples, out2.samples)
+
+
 def test_vamp_feedback_steps(interface):
     codes = interface.encode(_sig(0.2))
     mask = interface.build_mask(codes, periodic_prompt=5, seed=0)

@@ -64,12 +64,15 @@ def _loudness_lufs(samples: np.ndarray, sr: int) -> np.ndarray:
     out = np.empty((b,), dtype=np.float64)
     # channel weights (mono/stereo: 1.0 each)
     g = np.ones(ch)
+    # vectorized block energies via cumulative sums
+    csum = np.concatenate(
+        [np.zeros((b, ch, 1)), np.cumsum(x.astype(np.float64) ** 2, axis=-1)], axis=-1
+    )
+    starts = np.arange(n_blocks) * step
+    block_sums = csum[:, :, starts + block] - csum[:, :, starts]  # (b, ch, n_blocks)
+    z_all = np.transpose(block_sums, (0, 2, 1)) / block  # (b, n_blocks, ch)
     for i in range(b):
-        zs = []
-        for j in range(n_blocks):
-            seg = x[i, :, j * step : j * step + block]
-            zs.append((seg ** 2).mean(axis=-1))
-        z = np.array(zs)  # (n_blocks, ch)
+        z = z_all[i]  # (n_blocks, ch)
         lk = -0.691 + 10 * np.log10(np.maximum((z * g).sum(axis=-1), 1e-12))
         # absolute gate
         keep = lk > -70.0

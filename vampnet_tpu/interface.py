@@ -699,6 +699,179 @@ class Interface:
             return zv, np.asarray(mask_z)
         return zv
 
+    def vamp_e2e(
+        self,
+        sig: AudioSignal,
+        batch_size: int = 2,
+        seed: Optional[int] = None,
+        rand_mask_intensity: float = 1.0,
+        prefix_s: float = 0.0,
+        suffix_s: float = 0.0,
+        periodic_prompt: int = 7,
+        periodic_prompt_width: int = 1,
+        _dropout: float = 0.0,
+        upper_codebook_mask: int = 3,
+        _sampling_steps: int = 12,
+        c2f_steps: int = 2,
+        temperature: float = 1.0,
+        mask_temperature: float = 10.5,
+        typical_filtering: bool = True,
+        typical_mass: float = 0.15,
+        typical_min_tokens: int = 64,
+        top_p: Optional[float] = None,
+        sample_cutoff: float = 1.0,
+    ) -> AudioSignal:
+        """The entire vamp as ONE device program: codec encode -> build_mask
+        -> coarse MaskGIT -> c2f MaskGIT -> codec decode.
+
+        The staged API (`encode`/`build_mask`/`vamp`/`decode`) costs one host
+        round-trip per stage; on hosts far from the chip that dominates
+        latency. This path dispatches once and transfers only the final
+        waveform. Preprocessing (resample/loudness) stays host-side.
+        """
+        from .sampling.generate import generate as _generate
+
+        sig = self._preprocess(sig)
+        audio = jnp.asarray(sig.samples.transpose(0, 2, 1))
+        t_tokens = audio.shape[1] // self.codec_config.hop_length
+        key = _seed_key(seed)
+
+        static = (
+            "vamp_e2e", audio.shape, batch_size, periodic_prompt,
+            periodic_prompt_width, float(_dropout), int(upper_codebook_mask),
+            int(_sampling_steps), int(c2f_steps), bool(typical_filtering),
+            float(typical_mass), int(typical_min_tokens), top_p is not None,
+            self.coarse.config, None if self.c2f is None else self.c2f.config,
+        )
+        if static not in self._gen_cache:
+            coarse_lm, c2f_lm = self.coarse, self.c2f
+            codec = self.codec_model
+            n_coarse = coarse_lm.n_codebooks
+            chunk_len = self.s2t(coarse_lm.chunk_size_s)
+            n_chunks = math.ceil(t_tokens / chunk_len)
+            pad = n_chunks * chunk_len - t_tokens
+            c2f_chunk = self.s2t(c2f_lm.chunk_size_s) if c2f_lm else 0
+            n_chunks_f = math.ceil(t_tokens / c2f_chunk) if c2f_lm else 0
+            pad_f = n_chunks_f * c2f_chunk - t_tokens if c2f_lm else 0
+            mask_token = coarse_lm.mask_token
+
+            def fn(codec_params, coarse_params, c2f_params, codebooks, audio,
+                   key, intensity, n_prefix, n_suffix, temp, mtemp, topp, cutoff):
+                k_mask, k_coarse, k_c2f = jax.random.split(key, 3)
+                codes = codec.apply(
+                    {"params": codec_params}, audio, method="encode"
+                )["codes"][:, :, :t_tokens]
+
+                # ---- mask (reference build_mask pipeline) ----
+                k1, k2, k3 = jax.random.split(k_mask, 3)
+                m = pmask.linear_random(k1, codes, intensity)
+                m = pmask.mask_and(m, pmask.inpaint(codes, n_prefix, n_suffix))
+                m = pmask.mask_and(
+                    m,
+                    pmask.periodic_mask(
+                        codes, periodic_prompt, periodic_prompt_width,
+                        random_roll=True, key=k2,
+                    ),
+                )
+                m = pmask.dropout(k3, m, float(_dropout))
+                m = pmask.codebook_mask(m, int(upper_codebook_mask))
+
+                # ---- batch expand + coarse chunks-as-batch ----
+                z = jnp.broadcast_to(codes, (batch_size,) + codes.shape[1:])
+                m = jnp.broadcast_to(m, (batch_size,) + m.shape[1:])
+                cz = jnp.pad(z[:, :n_coarse], ((0, 0), (0, 0), (0, pad)))
+                cm = jnp.pad(
+                    m[:, :n_coarse], ((0, 0), (0, 0), (0, pad)), constant_values=1
+                )
+
+                def to_chunks(x, n_cb, L, nc):
+                    x = x.reshape(batch_size, n_cb, nc, L)
+                    return jnp.transpose(x, (2, 0, 1, 3)).reshape(
+                        nc * batch_size, n_cb, L
+                    )
+
+                def from_chunks(x, n_cb, L, nc):
+                    x = x.reshape(nc, batch_size, n_cb, L)
+                    return jnp.transpose(x, (1, 2, 0, 3)).reshape(
+                        batch_size, n_cb, nc * L
+                    )[:, :, :t_tokens]
+
+                cz_c = to_chunks(cz, n_coarse, chunk_len, n_chunks)
+                cm_c = to_chunks(cm, n_coarse, chunk_len, n_chunks)
+                z_masked = jnp.where(cm_c.astype(bool), mask_token, cz_c)
+
+                def fwd_coarse(zm, c=None, cmk=None):
+                    return coarse_lm.model.apply(
+                        {"params": coarse_params}, zm,
+                        codebooks[:n_coarse], method="forward_codes",
+                    )
+
+                tile = lambda v: jnp.tile(v, n_chunks) if v.ndim == 1 else v
+                cv = _generate(
+                    fwd_coarse, k_coarse, z_masked, cm_c, mask_token,
+                    sampling_steps=int(_sampling_steps),
+                    temperature=tile(temp), mask_temperature=tile(mtemp),
+                    typical_filtering=bool(typical_filtering),
+                    typical_mass=float(typical_mass),
+                    typical_min_tokens=int(typical_min_tokens),
+                    top_p=tile(topp) if top_p is not None else None,
+                    sample_cutoff=tile(cutoff),
+                )
+                zv = from_chunks(cv, n_coarse, chunk_len, n_chunks)
+
+                # ---- c2f ----
+                if c2f_lm is not None:
+                    n_cb = c2f_lm.n_codebooks
+                    ncc = c2f_lm.n_conditioning_codebooks
+                    zf = jnp.concatenate([zv, z[:, n_coarse:]], axis=1)
+                    mf = pmask.codebook_unmask(m, ncc)
+                    zf = jnp.pad(zf, ((0, 0), (0, 0), (0, pad_f)))
+                    mf = jnp.pad(mf, ((0, 0), (0, 0), (0, pad_f)), constant_values=1)
+                    zf_c = to_chunks(zf, n_cb, c2f_chunk, n_chunks_f)
+                    mf_c = to_chunks(mf, n_cb, c2f_chunk, n_chunks_f)
+                    zf_masked = jnp.where(mf_c.astype(bool), mask_token, zf_c)
+
+                    def fwd_c2f(zm, c=None, cmk=None):
+                        return c2f_lm.model.apply(
+                            {"params": c2f_params}, zm, codebooks[:n_cb],
+                            method="forward_codes",
+                        )
+
+                    tile_f = lambda v: jnp.tile(v, n_chunks_f) if v.ndim == 1 else v
+                    fv = _generate(
+                        fwd_c2f, k_c2f, zf_masked, mf_c, mask_token,
+                        n_conditioning_codebooks=ncc,
+                        sampling_steps=int(c2f_steps),
+                        temperature=tile_f(temp), mask_temperature=tile_f(mtemp),
+                        typical_filtering=True,
+                        typical_mass=float(typical_mass),
+                        typical_min_tokens=int(typical_min_tokens),
+                        sample_cutoff=tile_f(cutoff),
+                    )
+                    zv = from_chunks(fv, n_cb, c2f_chunk, n_chunks_f)
+
+                # ---- decode ----
+                z0 = jnp.where(zv == mask_token, 0, zv)
+                wav = codec.apply({"params": codec_params}, z0, method="decode_codes")
+                return wav[:, : t_tokens * self.codec_config.hop_length]
+
+            self._gen_cache[static] = jax.jit(fn)
+
+        fn = self._gen_cache[static]
+        out = fn(
+            self.codec_params, self.coarse.params,
+            self.c2f.params if self.c2f else None,
+            self._codebooks, audio, key,
+            jnp.float32(rand_mask_intensity),
+            jnp.int32(self.s2t(prefix_s)), jnp.int32(self.s2t(suffix_s)),
+            jnp.float32(temperature), jnp.float32(mask_temperature),
+            jnp.float32(top_p if top_p is not None else 0.0),
+            jnp.float32(sample_cutoff),
+        )
+        return AudioSignal(
+            np.asarray(out).transpose(0, 2, 1), self.codec_config.sample_rate
+        )
+
     # ---------- utilities ----------
 
     def visualize_codes(self, z):  # pragma: no cover - plotting utility

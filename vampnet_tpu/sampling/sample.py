@@ -14,9 +14,10 @@ import jax.numpy as jnp
 
 NEG_INF = -jnp.inf
 
-# bisection iterations for threshold filters; 40 halvings reach fp32
-# resolution on any realistic logit range
-_BISECT_ITERS = 40
+# bisection iterations for threshold filters; 24 halvings resolve the
+# threshold to ~3e-6 of the logit range — far below sampling noise, and the
+# loop is HBM-bound (2 full-vocab reads per iteration)
+_BISECT_ITERS = 24
 
 
 def typical_filter(
