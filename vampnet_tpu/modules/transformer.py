@@ -401,6 +401,13 @@ class VampNetLM(nn.Module):
             return logits, activations
         return logits
 
+    def r_embed(self, r, max_positions: int = 10000):
+        """Mask-ratio embedding (reference transformer.py:641-659). The
+        shipped models assert r_cond_dim == 0 (:554), in which case the
+        reference returns r unchanged — reproduced here; the sinusoidal
+        branch is intentionally unsupported like the reference's assert."""
+        return r
+
     def from_codes(self, codes: jnp.ndarray, codebooks: jnp.ndarray) -> jnp.ndarray:
         return self.embedding.from_codes(codes, codebooks)
 

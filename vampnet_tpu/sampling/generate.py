@@ -55,6 +55,7 @@ def generate(
     ctrls=None,
     ctrl_masks=None,
     cfg_scale: float = 3.0,
+    debug_callback=None,
 ) -> jnp.ndarray:
     """Run the MaskGIT loop; returns sampled codes (b, n_codebooks, t).
 
@@ -155,6 +156,14 @@ def generate(
         z_masked_new = jnp.concatenate(
             [z[:, :ncc, :], codebook_unflatten(z_masked_flat, n_infer)], axis=1
         )
+        if debug_callback is not None:
+            # per-step host dump (reference transformer.py:824-889 debug mode)
+            jax.debug.callback(
+                debug_callback, i,
+                z_masked_new,
+                codebook_unflatten(sampled, n_infer),
+                codebook_unflatten(new_mask.astype(jnp.int32), n_infer),
+            )
         return z_masked_new, sampled, key
 
     sampled0 = codebook_flatten(z_masked[:, ncc:, :])

@@ -20,6 +20,20 @@ NEG_INF = -jnp.inf
 _BISECT_ITERS = 24
 
 
+def gumbel_noise_like(key: jax.Array, t: jnp.ndarray) -> jnp.ndarray:
+    """Gumbel(0,1) noise shaped like t (reference transformer.py:28-30)."""
+    return jax.random.gumbel(key, t.shape)
+
+
+def gumbel_sample(key: jax.Array, t: jnp.ndarray, temperature: float = 1.0, axis: int = -1):
+    """Gumbel-max categorical sample (reference transformer.py:33-34)."""
+    return jnp.argmax(
+        t / jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-10)
+        + gumbel_noise_like(key, t),
+        axis=axis,
+    )
+
+
 def typical_filter(
     logits: jnp.ndarray,  # (..., vocab)
     typical_mass: float = 0.2,

@@ -21,6 +21,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .. import config as cfglib
+from .. import mask as pmask
 from ..checkpoints import load_codec
 from ..codec import LAC
 from ..modules import LMConfig, VampNetLM
@@ -32,8 +33,26 @@ from .step import TrainState, make_optimizer, make_train_step
 from .tracker import Tracker
 
 
-def build_lm_config(args, fine_tune: bool = False) -> LMConfig:
+def build_controller(args, codec_cfg):
+    """Sketch2Sound control conditioning (conf/lora/lora-s2s.yml:
+    Sketch2SoundController.ctrl_keys)."""
+    ctrl_keys = cfglib.bound(args, "Sketch2SoundController", "ctrl_keys", None)
+    if not ctrl_keys:
+        return None
+    from ..control import Sketch2SoundController
+
+    return Sketch2SoundController(
+        ctrl_keys=list(ctrl_keys),
+        hop_length=codec_cfg.hop_length,
+        sample_rate=codec_cfg.sample_rate,
+    )
+
+
+def build_lm_config(args, fine_tune: bool = False, controller=None) -> LMConfig:
     g = lambda attr, default: cfglib.bound(args, "VampNet", attr, default)
+    ctrl_dims = None
+    if controller is not None:
+        ctrl_dims = tuple(sorted(controller.ctrl_dims.items()))
     return LMConfig(
         n_heads=g("n_heads", 20),
         n_layers=g("n_layers", 16),
@@ -44,6 +63,7 @@ def build_lm_config(args, fine_tune: bool = False) -> LMConfig:
         vocab_size=g("vocab_size", 1024),
         dropout=g("dropout", 0.1),
         lora_r=int(args.get("lora_r", 8)) if fine_tune else 0,
+        ctrl_dims=ctrl_dims,
     )
 
 
@@ -86,7 +106,8 @@ def train(args: dict, seed: int = 0) -> TrainState:
     # ----- models -----
     codec_cfg, codec_params = load_codec(args["codec_ckpt"])
     codec = LAC(codec_cfg)
-    lm_cfg = build_lm_config(args, fine_tune=fine_tune)
+    controller = build_controller(args, codec_cfg)
+    lm_cfg = build_lm_config(args, fine_tune=fine_tune, controller=controller)
     lm = VampNetLM(lm_cfg)
     assert lm_cfg.vocab_size == codec_cfg.codebook_size, (
         f"vocab size {lm_cfg.vocab_size} must match codec codebook size "
@@ -98,13 +119,19 @@ def train(args: dict, seed: int = 0) -> TrainState:
     ]
     key = jax.random.PRNGKey(seed)
     codes0 = jnp.zeros((1, lm_cfg.n_codebooks, 16), jnp.int32)
+    init_kwargs = {}
+    if controller is not None:
+        init_kwargs = dict(
+            ctrls={k: jnp.zeros((1, 16, d)) for k, d in controller.ctrl_dims.items()},
+            ctrl_masks={k: jnp.ones((1, 16), jnp.int32) for k in controller.ctrl_dims},
+        )
     if fine_tune and args.get("init_ckpt"):
         from ..checkpoints import load_lm
 
         base_cfg, lm_params = load_lm(args["init_ckpt"])
         if base_cfg.lora_r != lm_cfg.lora_r:
             # graft fresh adapters onto the base weights
-            init = lm.init(key, codes0, codebooks, method="forward_codes")["params"]
+            init = lm.init(key, codes0, codebooks, method="forward_codes", **init_kwargs)["params"]
             import flax.traverse_util as tu
 
             flat = tu.flatten_dict(init)
@@ -114,7 +141,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
                     flat[k] = base[k]
             lm_params = tu.unflatten_dict(flat)
     else:
-        lm_params = lm.init(key, codes0, codebooks, method="forward_codes")["params"]
+        lm_params = lm.init(key, codes0, codebooks, method="forward_codes", **init_kwargs)["params"]
 
     # ----- optimizer -----
     lora_filter = lora_param_filter(lm_params) if fine_tune else None
@@ -156,7 +183,8 @@ def train(args: dict, seed: int = 0) -> TrainState:
 
     state_sh = TrainState(sh(param_specs), sh(opt_specs), rep)
     train_step = jax.jit(
-        make_train_step(lm, codec, optimizer, label_smoothing=label_smoothing),
+        make_train_step(lm, codec, optimizer, label_smoothing=label_smoothing,
+                        controller=controller),
         in_shardings=(state_sh, rep, rep, batch_sharding, rep),
         out_shardings=(state_sh, rep),
     )
@@ -167,7 +195,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
     from .. import mask as pmask
 
     def eval_step(params, codec_params, codebooks, audio, key):
-        k_r, k_mask = jax.random.split(key)
+        k_r, k_mask, k_ctrl = jax.random.split(key, 3)
         codes = codec.apply({"params": codec_params}, audio, method="encode")["codes"]
         z = codes[:, : lm_cfg.n_codebooks, :]
         r = jax.random.uniform(k_r, (z.shape[0],))
@@ -175,8 +203,15 @@ def train(args: dict, seed: int = 0) -> TrainState:
             pmask.random(k_mask, z, r), lm_cfg.n_conditioning_codebooks
         )
         z_masked, mask = pmask.apply_mask(z, mask, lm_cfg.mask_token)
+        ctrls = ctrl_masks = None
+        if controller is not None:
+            ctrls = controller.extract(audio[..., 0])
+            ctrls = {k: v[:, : z.shape[-1], :] for k, v in ctrls.items()}
+            ctrl_masks = controller.random_mask(ctrls, r, k_ctrl)
+            ctrl_masks = {k: v[:, : z.shape[-1]] for k, v in ctrl_masks.items()}
         logits = lm.apply(
-            {"params": params}, z_masked, codebooks, method="forward_codes"
+            {"params": params}, z_masked, codebooks, ctrls, ctrl_masks,
+            method="forward_codes",
         )
         ncc = lm_cfg.n_conditioning_codebooks
         _, metrics = loss_and_metrics(
@@ -234,6 +269,13 @@ def train(args: dict, seed: int = 0) -> TrainState:
             t_last = time.time()
             tracker.print_status("train", extra=f"{50/dt:.2f} it/s")
 
+        if (step_i + 1) % sample_freq == 0:
+            save_samples(
+                lm, lm_cfg, state.params, codec, codec_params, codebooks,
+                jnp.asarray(batch), save_path, tracker, step_i + 1,
+                controller=controller,
+            )
+
         if (step_i + 1) % val_freq == 0:
             val_metrics = validate(
                 eval_step, state.params, codec_params, codebooks, val_data,
@@ -253,6 +295,73 @@ def train(args: dict, seed: int = 0) -> TrainState:
     ckpt.save("latest", state, lm_cfg, tracker.state_dict(), fine_tune)
     tracker.close()
     return state
+
+
+def save_samples(
+    lm, lm_cfg, params, codec, codec_params, codebooks, audio, save_path,
+    tracker, step, n_save=4, controller=None,
+):
+    """Audio demos every sample_freq steps (reference train.py:439-534):
+    reconstruction, inpainted prompt (mask -> silence), and generate-filled
+    inpainting, written as wavs + logged to TensorBoard when available."""
+    from ..audio import AudioSignal
+    from ..sampling.generate import generate as _generate
+
+    audio = jnp.asarray(audio[:n_save])
+    codes = codec.apply({"params": codec_params}, audio, method="encode")["codes"]
+    z = codes[:, : lm_cfg.n_codebooks, :]
+    mask_token = lm_cfg.mask_token
+
+    n_prefix = int(z.shape[-1] * 0.25)
+    n_suffix = int(z.shape[-1] * 0.25)
+    mask = pmask.inpaint(z, n_prefix, n_suffix)
+    mask = pmask.codebook_unmask(mask, lm_cfg.n_conditioning_codebooks)
+    z_masked, mask = pmask.apply_mask(z, mask, mask_token)
+
+    ctrls = ctrl_masks = None
+    if controller is not None:
+        ctrls = controller.extract(audio[..., 0])
+        ctrls = {k: v[:, : z.shape[-1], :] for k, v in ctrls.items()}
+        ctrl_masks = controller.empty_mask(ctrls)
+        ctrl_masks = {k: v[:, : z.shape[-1]] for k, v in ctrl_masks.items()}
+
+    def fwd(zm, c=None, cm=None):
+        return lm.apply(
+            {"params": params}, zm, codebooks, ctrls, ctrl_masks,
+            method="forward_codes",
+        )
+
+    imputed = _generate(
+        fwd, jax.random.PRNGKey(step), z_masked, mask, mask_token,
+        n_conditioning_codebooks=lm_cfg.n_conditioning_codebooks,
+        sampling_steps=12,
+    )
+
+    def decode(codes_in):
+        z0 = jnp.where(codes_in == mask_token, 0, codes_in)
+        wav = codec.apply({"params": codec_params}, z0, method="decode_codes")
+        # silence fully-masked frames (reference transformer.py:677-682)
+        all_masked = jnp.all(codes_in == mask_token, axis=1)
+        hop = codec.config.hop_length
+        t = all_masked.shape[1]
+        wav = wav[:, : t * hop].reshape(wav.shape[0], t, hop)
+        return (wav * (~all_masked)[:, :, None]).reshape(wav.shape[0], t * hop)
+
+    outs = {
+        "reconstructed": decode(z),
+        "inpainted_prompt": decode(z_masked),
+        "inpainted_middle": decode(imputed),
+    }
+    sample_dir = Path(save_path) / "samples" / f"step_{step}"
+    for name, wavs in outs.items():
+        wavs = np.asarray(wavs)
+        for i in range(wavs.shape[0]):
+            out = sample_dir / name
+            out.mkdir(parents=True, exist_ok=True)
+            AudioSignal(wavs[i][None, None, :], codec.config.sample_rate).write(
+                out / f"{i}.wav"
+            )
+            tracker.log_audio(f"{name}/{i}", wavs[i], codec.config.sample_rate, step)
 
 
 def validate(eval_step, params, codec_params, codebooks, val_data, batch_size, rng, n_batches=4):

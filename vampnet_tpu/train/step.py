@@ -115,16 +115,22 @@ def make_train_step(
     codec_model,
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.1,
+    controller=None,
 ) -> Callable:
     """Returns train_step(state, codec_params, codebooks, audio, key)
     -> (state, metrics). Encode-on-the-fly with the frozen codec
-    (reference train.py:245-248), then masked-token LM training."""
+    (reference train.py:245-248), then masked-token LM training.
+
+    With a `Sketch2SoundController`, control features (RMS/chroma) are
+    extracted IN-GRAPH from the same audio batch and fed through the
+    ControlEncoder with random control masks (the sketch2sound training
+    path the reference left commented out at train.py:70,124-138,620)."""
     n_cb = lm_model.config.n_codebooks
     ncc = lm_model.config.n_conditioning_codebooks
     mask_token = lm_model.config.mask_token
 
     def train_step(state: TrainState, codec_params, codebooks, audio, key):
-        k_r, k_mask, k_drop = jax.random.split(key, 3)
+        k_r, k_mask, k_drop, k_ctrl = jax.random.split(key, 4)
         codes = codec_model.apply(
             {"params": codec_params}, audio, method="encode"
         )["codes"]
@@ -136,6 +142,13 @@ def make_train_step(
         mask = pmask.codebook_unmask(mask, ncc)
         z_masked, mask = pmask.apply_mask(z, mask, mask_token)
 
+        ctrls = ctrl_masks = None
+        if controller is not None:
+            ctrls = controller.extract(audio[..., 0])
+            ctrls = {k: v[:, : z.shape[-1], :] for k, v in ctrls.items()}
+            ctrl_masks = controller.random_mask(ctrls, r, k_ctrl)
+            ctrl_masks = {k: v[:, : z.shape[-1]] for k, v in ctrl_masks.items()}
+
         flat_mask = codebook_flatten(mask[:, ncc:, :])
         target = z[:, ncc:, :]
 
@@ -144,6 +157,8 @@ def make_train_step(
                 {"params": params},
                 z_masked,
                 codebooks,
+                ctrls,
+                ctrl_masks,
                 deterministic=False,
                 rngs={"dropout": k_drop},
                 method="forward_codes",
