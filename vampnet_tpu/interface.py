@@ -43,11 +43,23 @@ def signal_concat(audio_signals):
 
 
 class _LoadedLM:
-    """An LM + params + chunk size (reference _load_model, interface.py:27-50)."""
+    """An LM + params + chunk size (reference _load_model, interface.py:27-50).
 
-    def __init__(self, config: LMConfig, params, chunk_size_s: float):
+    Inference params are stored bf16: the matmuls cast to bf16 anyway, so
+    fp32 storage only doubles HBM reads of the 330M-param weight stream per
+    forward. Training keeps fp32 masters (train/ uses its own state)."""
+
+    def __init__(self, config: LMConfig, params, chunk_size_s: float,
+                 inference_dtype=jnp.bfloat16):
         self.config = config
         self.model = VampNetLM(config)
+        if inference_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(inference_dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                params,
+            )
         self.params = params
         self.chunk_size_s = chunk_size_s
 
