@@ -29,17 +29,40 @@ class LoRADense(nn.Module):
     use_bias: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+    quantize: bool = False  # int8 weights + per-out-channel scales
 
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (in_features, self.features),
-            self.param_dtype,
-        )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.quantize:
+            # w8a8: int8 weights (HBM halved vs bf16, 2x MXU peak on v5e) with
+            # per-output-channel scales; activations dynamically quantized
+            # per row. Populate via modules.quantize.quantize_lm_params.
+            kernel_q = self.param(
+                "kernel_q", nn.initializers.zeros,
+                (in_features, self.features), jnp.int8,
+            )
+            kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+            a = x.astype(jnp.float32)
+            a_max = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
+            a_scale = jnp.maximum(a_max, 1e-8) / 127.0
+            x_q = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
+            y_i32 = jax.lax.dot_general(
+                x_q, kernel_q,
+                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            y = (y_i32.astype(jnp.float32) * a_scale * kernel_scale).astype(self.dtype)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (in_features, self.features),
+                self.param_dtype,
+            )
+            y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)

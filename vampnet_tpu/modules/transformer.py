@@ -49,6 +49,7 @@ class LMConfig:
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    quantization: Optional[str] = None  # "int8" -> w8a8 matmuls (see modules/quantize.py)
     ctrl_dims: Optional[Tuple[Tuple[str, int], ...]] = None
     cfg_dropout_prob: float = 0.2
 
@@ -126,6 +127,7 @@ class MultiHeadRelativeAttention(nn.Module):
     attention_max_distance: int = 128
     lora_r: int = 0
     attention_impl: str = "auto"
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -134,7 +136,8 @@ class MultiHeadRelativeAttention(nn.Module):
         d_model = q.shape[-1]
         d_head = d_model // self.n_head
         dense = lambda name, r: LoRADense(
-            features=d_model, r=r, dtype=self.dtype, param_dtype=self.param_dtype, name=name
+            features=d_model, r=r, dtype=self.dtype, param_dtype=self.param_dtype,
+            quantize=self.quantize, name=name,
         )
         qp = dense("w_qs", self.lora_r)(q)
         kp = dense("w_ks", 0)(k)
@@ -179,6 +182,7 @@ class FeedForward(nn.Module):
 
     dropout: float = 0.1
     lora_r: int = 0
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -187,14 +191,14 @@ class FeedForward(nn.Module):
         d_model = x.shape[-1]
         h = LoRADense(
             features=d_model * 4, r=self.lora_r, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="w_1",
+            param_dtype=self.param_dtype, quantize=self.quantize, name="w_1",
         )(x)
         p1, p2 = jnp.split(h, 2, axis=-1)
         h = p1 * nn.gelu(p2, approximate=True)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return LoRADense(
             features=d_model, r=self.lora_r, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="w_2",
+            param_dtype=self.param_dtype, quantize=self.quantize, name="w_2",
         )(h)
 
 
@@ -209,6 +213,7 @@ class TransformerLayer(nn.Module):
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -222,6 +227,7 @@ class TransformerLayer(nn.Module):
             attention_max_distance=self.attention_max_distance,
             lora_r=self.lora_r,
             attention_impl=self.attention_impl,
+            quantize=self.quantize,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="self_attn",
@@ -231,7 +237,7 @@ class TransformerLayer(nn.Module):
         y = RMSNorm(name="norm_3")(x)
         y = FeedForward(
             dropout=self.dropout, lora_r=self.lora_r, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="feed_forward",
+            param_dtype=self.param_dtype, quantize=self.quantize, name="feed_forward",
         )(y, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x, position_bias
@@ -248,6 +254,7 @@ class TransformerStack(nn.Module):
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -264,6 +271,7 @@ class TransformerStack(nn.Module):
                 attention_num_buckets=self.attention_num_buckets,
                 attention_max_distance=self.attention_max_distance,
                 attention_impl=self.attention_impl,
+                quantize=self.quantize,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",
@@ -349,6 +357,7 @@ class VampNetLM(nn.Module):
             attention_num_buckets=cfg.attention_num_buckets,
             attention_max_distance=cfg.attention_max_distance,
             attention_impl=cfg.attention_impl,
+            quantize=cfg.quantization == "int8",
             name="transformer",
         )
         # 1x1 conv classifier (reference transformer.py:596-604) as a Dense;

@@ -25,7 +25,9 @@ def _spec_for_path(path) -> P:
     keys = [str(getattr(k, "key", k)) for k in path]
     leaf = keys[-1]
     parent = keys[-2] if len(keys) > 1 else ""
-    if leaf == "kernel":
+    if leaf == "kernel_scale":
+        return P("tp") if parent in _COL else P()
+    if leaf in ("kernel", "kernel_q"):
         if parent in _COL:
             return P(None, "tp")
         if parent in _ROW:
