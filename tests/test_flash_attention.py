@@ -61,3 +61,21 @@ def test_padding_does_not_leak():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(
         flash_attention_with_bias(q2, k, v, bias=bias, interpret=True)
     ), atol=1e-6)
+
+
+@pytest.mark.parametrize("t", [1500, 2048])
+def test_blocked_long_sequence_matches_xla(t):
+    # t > MAX_SINGLE_PASS_SEQ triggers the online-softmax blocked kernel
+    q, k, v, bias = _inputs(b=1, t=t, h=2, d=64)
+    ref = dot_product_attention(q, k, v, bias=bias, impl="xla")
+    out = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-4)
+
+
+def test_blocked_with_mask():
+    t = 1200
+    q, k, v, bias = _inputs(b=1, t=t, h=2, d=64)
+    mask = jnp.ones((1, t, t), jnp.int32).at[:, :, 900:].set(0)
+    ref = dot_product_attention(q, k, v, bias=bias, mask=mask, impl="xla")
+    out = flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-4)

@@ -14,8 +14,9 @@ softmax(q k^T / sqrt(d) + bias) v entirely in VMEM:
     — the T5 relative bias is per-head, not per-row.
   * bf16 inputs, fp32 accumulation on the MXU, fp32 softmax.
 
-Sequences longer than `MAX_VMEM_SEQ` fall back to the XLA path (the chunked
-windowed-generation design keeps VampNet sequences at ~862 tokens).
+Sequences beyond `MAX_SINGLE_PASS_SEQ` switch to the blocked online-softmax
+variant (k/v streamed block-by-block on grid dim 2, running max/denominator
+in VMEM scratch) — chunk-free attention for long context at O(t) memory.
 """
 from __future__ import annotations
 
@@ -27,7 +28,50 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-MAX_VMEM_SEQ = 4096  # beyond this, fall back to XLA attention
+MAX_SINGLE_PASS_SEQ = 1024  # beyond this, the blocked online-softmax kernel
+
+
+def _attn_kernel_blocked(
+    q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+):
+    """Online-softmax flash attention: grid dim 2 streams k/v blocks; running
+    max/denominator/accumulator live in VMEM scratch across grid steps."""
+    kb = pl.program_id(2)
+    n_kb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, d)
+    k = k_ref[0].astype(jnp.float32)  # (BK, d)
+    v = v_ref[0].astype(jnp.float32)  # (BK, d)
+    bias = b_ref[0]  # (BQ, BK)
+
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = m_new
+
+    @pl.when(kb == n_kb - 1)
+    def _():
+        o_ref[0, :, :] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
@@ -65,20 +109,20 @@ def flash_attention_with_bias(
     bias: Optional[jnp.ndarray] = None,  # (h, t, t) additive, fp32
     mask: Optional[jnp.ndarray] = None,  # (b, t, t); 0 = blocked
     block_q: int = 256,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, h, d = q.shape
-    if t > MAX_VMEM_SEQ:
-        from .attention import dot_product_attention
-
-        return dot_product_attention(q, k, v, bias=bias, mask=mask, impl="xla")
-
     scale = 1.0 / (d ** 0.5)
+    blocked = t > MAX_SINGLE_PASS_SEQ
 
-    # pad: t to lcm(block_q-aligned, 128 lanes), d to 128 lanes
+    # pad: t to lcm(block-aligned, 128 lanes), d to 128 lanes
     tp = _round_up(t, 128)
     block_q = min(block_q, tp)
     tp = _round_up(tp, block_q)
+    if blocked:
+        block_k = min(block_k, tp)
+        tp = _round_up(tp, block_k)
     dp = _round_up(d, 128)
 
     def pad_qkv(x):
@@ -103,33 +147,69 @@ def flash_attention_with_bias(
         bias_p = jnp.where(
             mp[:, None], jnp.broadcast_to(bias_p[None], (b, h, tp, tp)), -1e9
         ).reshape(b * h, tp, tp)
-        bias_index = lambda i, j: (i, j, 0)
-        bias_block = (1, block_q, tp)
+        per_row_bias = True
     else:
-        bias_index = lambda i, j: (i % h, j, 0)
-        bias_block = (1, block_q, tp)
+        per_row_bias = False
 
-    grid = (b * h, tp // block_q)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
-        grid_spec=pl.GridSpec(
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(bias_block, bias_index, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    if blocked:
+        bias_index = (
+            (lambda i, j, kb: (i, j, kb)) if per_row_bias
+            else (lambda i, j, kb: (i % h, j, kb))
+        )
+        grid = (b * h, tp // block_q, tp // block_k)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel_blocked, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_q, block_k), bias_index,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, block_q, dp), lambda i, j, kb: (i, j, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((block_q, 1), jnp.float32),
+                    pltpu.VMEM((block_q, 1), jnp.float32),
+                    pltpu.VMEM((block_q, dp), jnp.float32),
+                ],
             ),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, bias_p)
+            interpret=interpret,
+        )(qp, kp, vp, bias_p)
+    else:
+        bias_index = (
+            (lambda i, j: (i, j, 0)) if per_row_bias else (lambda i, j: (i % h, j, 0))
+        )
+        grid = (b * h, tp // block_q)
+        out = pl.pallas_call(
+            functools.partial(_attn_kernel, scale=scale),
+            out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, block_q, tp), bias_index,
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, bias_p)
 
     out = out[:, :t, :d].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))
