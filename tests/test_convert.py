@@ -113,3 +113,31 @@ def test_lora_overlay(tmp_path):
             np.testing.assert_allclose(np.asarray(flat[k]), np.asarray(orig[k]) + 1.0)
         else:
             np.testing.assert_array_equal(np.asarray(flat[k]), np.asarray(orig[k]))
+
+
+def test_lora_from_torch_checkpoint(tmp_path):
+    """loralib-style adapter-only torch state dict -> our overlay tree."""
+    import torch
+
+    from vampnet_tpu.convert import lora_from_torch_checkpoint
+
+    r, d = 4, 16
+    sd = {
+        "transformer.layers.0.self_attn.w_qs.lora_A": torch.randn(r, d),
+        "transformer.layers.0.self_attn.w_qs.lora_B": torch.randn(d, r),
+        "transformer.layers.1.feed_forward.w_1.lora_A": torch.randn(r, d),
+        "transformer.layers.1.feed_forward.w_1.lora_B": torch.randn(d * 4, r),
+    }
+    path = tmp_path / "lora.pth"
+    torch.save(sd, path)
+    tree = lora_from_torch_checkpoint(path)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(tree)
+    a = flat[("transformer", "layers_0", "self_attn", "w_qs", "lora_a")]
+    b = flat[("transformer", "layers_1", "feed_forward", "w_1", "lora_b")]
+    assert a.shape == (d, r)  # transposed to our (in, r) layout
+    assert b.shape == (r, d * 4)
+    np.testing.assert_allclose(
+        np.asarray(a), sd["transformer.layers.0.self_attn.w_qs.lora_A"].numpy().T
+    )

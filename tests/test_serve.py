@@ -288,3 +288,31 @@ def test_tt_telephone_step(interface):
     for _ in range(3):
         telephone_step(st, fake_vamp)
     assert not st.recording_locked
+
+
+def test_build_demo_wiring_with_mock_gradio(interface, monkeypatch):
+    """Execute the gradio UI construction with a mock module: catches runtime
+    errors in the wiring and verifies the named API endpoints exist."""
+    import sys
+    from unittest import mock
+
+    gr = mock.MagicMock()
+    api_names = []
+
+    class FakeComponent(mock.MagicMock):
+        def click(self, *a, **kw):
+            if "api_name" in kw:
+                api_names.append(kw["api_name"])
+            return mock.MagicMock()
+
+    gr.Button.side_effect = lambda *a, **kw: FakeComponent()
+    monkeypatch.setitem(sys.modules, "gradio", gr)
+
+    from vampnet_tpu.serve.app import build_demo
+
+    demo = build_demo(interface)
+    assert gr.Blocks.called
+    assert "vamp" in api_names and "vamp_1" in api_names  # reference app.py:710 + unloop target
+    # UI components constructed
+    assert gr.Slider.call_count >= 10
+    assert gr.Dropdown.called
