@@ -67,3 +67,24 @@ def test_sharded_params_actually_distributed():
     w1 = flat[("transformer", "layers_0", "feed_forward", "w_1", "kernel")]
     # sharded over tp on the output dim
     assert len(w1.sharding.device_set) >= 2
+
+
+def test_engine_data_parallel_serving():
+    from vampnet_tpu.serve import VampEngine, VampRequest
+
+    iface = _iface()
+    iface.shard(tp=1)  # 8-way dp over the virtual devices
+    eng = VampEngine(iface, max_wait_ms=200.0, max_batch=8, data_parallel=True)
+    z = np.asarray(iface.encode(_sig()))
+    mask = np.asarray(iface.build_mask(jnp.asarray(z), seed=0))
+    futs = [
+        eng.submit(VampRequest(codes=z, mask=mask, seed=i, sampling_steps=2,
+                               coarse_only=True))
+        for i in range(3)  # 3 requests pad to dp=8 rows on device
+    ]
+    outs = [f.result(240) for f in futs]
+    for o in outs:
+        assert o.shape == z.shape
+        assert (o != iface.coarse.mask_token).all()
+    assert eng.stats["requests"] == 3
+    eng.close()

@@ -54,13 +54,26 @@ class VampEngine:
         max_batch: int = 8,
         max_wait_ms: float = 5.0,
         bucket_tokens: Optional[int] = None,
+        data_parallel: bool = False,
     ):
+        """With `data_parallel=True` (requires a prior `interface.shard()`),
+        request batches are sharded over the mesh's dp axis — concurrent
+        requests spread across chips while params stay replicated."""
         self.interface = interface
         self.max_batch = max_batch
         self.max_wait_ms = max_wait_ms
         self.bucket_tokens = bucket_tokens or interface.s2t(
             interface.coarse.chunk_size_s
         )
+        self.data_parallel = data_parallel
+        self._mesh = getattr(interface, "_mesh", None)
+        if data_parallel:
+            assert self._mesh is not None, (
+                "data_parallel serving requires interface.shard(mesh) first"
+            )
+            self.dp = self._mesh.shape.get("dp", 1)
+        else:
+            self.dp = 1
         self._q: "queue.Queue[Tuple[VampRequest, Future]]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -121,6 +134,13 @@ class VampEngine:
                 groups.setdefault(self._static_key(req, self._bucket_len(t)), []).append(
                     (req, fut)
                 )
+            # update stats BEFORE resolving futures: callers read stats as
+            # soon as their result lands
+            self.stats["batches"] += len(groups)
+            self.stats["requests"] += len(batch)
+            self.stats["batched_requests"] += sum(
+                len(v) for v in groups.values() if len(v) > 1
+            )
             for key, items in groups.items():
                 try:
                     self._run_group(key, items)
@@ -129,11 +149,6 @@ class VampEngine:
                     for _req, fut in items:
                         if not fut.done():
                             fut.set_exception(RuntimeError(f"{e}\n{tb}"))
-            self.stats["batches"] += len(groups)
-            self.stats["requests"] += len(batch)
-            self.stats["batched_requests"] += sum(
-                len(v) for v in groups.values() if len(v) > 1
-            )
 
     def _run_group(self, key, items: List[Tuple[VampRequest, Future]]):
         iface = self.interface
@@ -142,14 +157,22 @@ class VampEngine:
         n = len(reqs)
         n_cb = reqs[0].codes.shape[1]
 
-        codes = np.zeros((n, n_cb, t_bucket), dtype=np.int32)
-        mask = np.ones((n, n_cb, t_bucket), dtype=np.int32)
+        # dp serving: round the device batch up to a dp multiple (padding rows
+        # repeat the last request; their outputs are dropped)
+        n_dev = ((n + self.dp - 1) // self.dp) * self.dp if self.dp > 1 else n
+        codes = np.zeros((n_dev, n_cb, t_bucket), dtype=np.int32)
+        mask = np.ones((n_dev, n_cb, t_bucket), dtype=np.int32)
         lens = []
-        for i, r in enumerate(reqs):
+        for i in range(n_dev):
+            r = reqs[min(i, n - 1)]
             t = r.codes.shape[-1]
-            lens.append(t)
+            if i < n:
+                lens.append(t)
             codes[i, :, :t] = r.codes[0]
             mask[i, :, :t] = r.mask[0]
+        pad_rows = n_dev - n
+        if pad_rows:
+            reqs = reqs + [reqs[-1]] * pad_rows
 
         temp = np.array([r.temperature for r in reqs], np.float32)
         mtemp = np.array([r.mask_temperature for r in reqs], np.float32)
@@ -164,10 +187,18 @@ class VampEngine:
         # the request's own seed.
         seed = reqs[0].seed if n == 1 else hash(tuple(r.seed for r in reqs)) & 0x7FFFFFFF
 
+        codes_d, mask_d = jnp.asarray(codes), jnp.asarray(mask)
+        if self.dp > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(self._mesh, P("dp", None, None))
+            codes_d = jax.device_put(codes_d, sh)
+            mask_d = jax.device_put(mask_d, sh)
+
         r0 = reqs[0]
         out = iface.coarse_vamp(
-            jnp.asarray(codes),
-            jnp.asarray(mask),
+            codes_d,
+            mask_d,
             seed=seed,
             _sampling_steps=r0.sampling_steps,
             temperature=jnp.asarray(temp),
