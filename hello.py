@@ -46,5 +46,7 @@ output_tokens = interface.vamp(
 output_signal = interface.decode(output_tokens)
 
 # write the output signal to a file
+from pathlib import Path
+Path("scratch").mkdir(exist_ok=True)
 output_signal.write("scratch/output.wav")
 print("wrote scratch/output.wav")

@@ -27,22 +27,7 @@ import numpy as np
 from .model import CodecConfig
 
 
-def _load_torch_state_dict(path) -> Tuple[Dict[str, np.ndarray], dict]:
-    import torch
-
-    try:
-        obj = torch.load(path, map_location="cpu", weights_only=False)
-    except Exception as e:
-        raise ValueError(
-            f"{path} is neither a native .vtpu checkpoint nor a loadable torch "
-            f"checkpoint ({type(e).__name__}: {e})"
-        ) from e
-    metadata = {}
-    if isinstance(obj, dict) and "state_dict" in obj:
-        metadata = obj.get("metadata", {}) or {}
-        obj = obj["state_dict"]
-    sd = {k: v.detach().cpu().numpy() for k, v in obj.items() if hasattr(v, "detach")}
-    return sd, metadata
+from ..convert import _load_torch_state_dict  # shared torch-checkpoint loader
 
 
 def infer_codec_config(sd: Dict[str, np.ndarray], metadata: dict) -> CodecConfig:

@@ -195,12 +195,15 @@ class Interface:
 
     @classmethod
     def default(cls) -> "Interface":
-        from .registry import download_codec, download_default
+        from .registry import download_codec, download_default, MODELS_DIR
 
         codec_path = download_codec()
         coarse_path, c2f_path = download_default()
+        wavebeat = MODELS_DIR / "wavebeat.pth"
         return cls(
-            coarse_ckpt=coarse_path, coarse2fine_ckpt=c2f_path, codec_ckpt=codec_path
+            coarse_ckpt=coarse_path, coarse2fine_ckpt=c2f_path,
+            codec_ckpt=codec_path,
+            wavebeat_ckpt=str(wavebeat) if wavebeat.exists() else None,
         )
 
     @classmethod
@@ -663,25 +666,34 @@ class Interface:
         z = jnp.asarray(codes)
         mask = jnp.asarray(mask)
 
-        # expand to batch (reference :504-505): all variations generate together
-        z = jnp.broadcast_to(z, (batch_size,) + z.shape[1:])
-        mask = jnp.broadcast_to(mask, (batch_size,) + mask.shape[1:])
+        # batch expand (reference :504-505) + time stretch (:510-516) as one
+        # cached jitted program (eager op chains are expensive to first-compile
+        # on remote-compiled backends)
+        ekey = ("vamp_expand", batch_size, time_stretch_factor, z.shape)
+        if ekey not in self._gen_cache:
 
-        # time stretch (reference :510-516)
-        if time_stretch_factor > 1:
-            z = jnp.repeat(z, time_stretch_factor, axis=-1)
-            mask = jnp.repeat(mask, time_stretch_factor, axis=-1)
-            added_mask = jnp.ones_like(mask).at[:, :, ::time_stretch_factor].set(0)
-            mask = (mask.astype(bool) | added_mask.astype(bool)).astype(jnp.int32)
+            @jax.jit
+            def _expand(z, mask):
+                z = jnp.broadcast_to(z, (batch_size,) + z.shape[1:])
+                mask = jnp.broadcast_to(mask, (batch_size,) + mask.shape[1:])
+                if time_stretch_factor > 1:
+                    z = jnp.repeat(z, time_stretch_factor, axis=-1)
+                    mask = jnp.repeat(mask, time_stretch_factor, axis=-1)
+                    added = jnp.ones_like(mask).at[:, :, ::time_stretch_factor].set(0)
+                    mask = (mask.astype(bool) | added.astype(bool)).astype(jnp.int32)
+                return z, mask
 
-        key = _seed_key(seed)
+            self._gen_cache[ekey] = _expand
+        z, mask = self._gen_cache[ekey](z, mask)
+
+        rng = np.random.default_rng(seed)  # host-side sub-seed derivation:
+        # no per-stage device round-trips (remote dispatch is expensive)
         zv = z
         mask_z = mask
         for i in range(feedback_steps):
-            key, sub = jax.random.split(key)
             zv, mask_z = self.coarse_vamp(
                 zv, mask=mask, return_mask=True,
-                seed=int(jax.random.randint(sub, (), 0, 2**31 - 1)), **kwargs
+                seed=int(rng.integers(0, 2**31 - 1)), **kwargs
             )
             mask_z = jnp.roll(mask_z, (i + 1) % feedback_steps, axis=-1)
 
@@ -689,7 +701,6 @@ class Interface:
             zv = jnp.concatenate([zv, z[:, self.coarse.n_codebooks:, :]], axis=1)
 
         if self.c2f is not None:
-            key, sub = jax.random.split(key)
             c2f_kwargs = {
                 k: v for k, v in kwargs.items()
                 if k in ("temperature", "mask_temperature", "typical_mass",
@@ -698,7 +709,7 @@ class Interface:
             zv, fine_zv_mask = self.coarse_to_fine(
                 zv, mask=mask, typical_filtering=True, _sampling_steps=2,
                 return_mask=True,
-                seed=int(jax.random.randint(sub, (), 0, 2**31 - 1)),
+                seed=int(rng.integers(0, 2**31 - 1)),
                 **c2f_kwargs,
             )
             mask_z = jnp.concatenate(
@@ -749,7 +760,10 @@ class Interface:
         key = _seed_key(seed)
 
         static = (
-            "vamp_e2e", audio.shape, batch_size, periodic_prompt,
+            "vamp_e2e", audio.shape, batch_size,
+            self.coarse.chunk_size_s,
+            None if self.c2f is None else self.c2f.chunk_size_s,
+            periodic_prompt,
             periodic_prompt_width, float(_dropout), int(upper_codebook_mask),
             int(_sampling_steps), int(c2f_steps), bool(typical_filtering),
             float(typical_mass), int(typical_min_tokens), top_p is not None,
@@ -791,10 +805,23 @@ class Interface:
                 # ---- batch expand + coarse chunks-as-batch ----
                 z = jnp.broadcast_to(codes, (batch_size,) + codes.shape[1:])
                 m = jnp.broadcast_to(m, (batch_size,) + m.shape[1:])
-                cz = jnp.pad(z[:, :n_coarse], ((0, 0), (0, 0), (0, pad)))
-                cm = jnp.pad(
-                    m[:, :n_coarse], ((0, 0), (0, 0), (0, pad)), constant_values=1
+
+                # chunk-edge pinning for seam continuity, same as coarse_vamp
+                # (reference interface.py:410-413)
+                cm_un = m[:, :n_coarse]
+                cm_pad0 = jnp.pad(cm_un, ((0, 0), (0, 0), (0, pad)), constant_values=1)
+                chunked = cm_pad0.reshape(batch_size, n_coarse, n_chunks, chunk_len)
+                has_zero = jnp.any(chunked == 0, axis=(0, 1, 3))
+                pin = jnp.where(has_zero, 0, 1).astype(cm_un.dtype)
+                lo_idx = np.array([i * chunk_len for i in range(n_chunks)])
+                hi_idx = np.array(
+                    [min(t_tokens, (i + 1) * chunk_len) - 1 for i in range(n_chunks)]
                 )
+                cm_un = cm_un.at[:, :, lo_idx].min(pin[None, None, :])
+                cm_un = cm_un.at[:, :, hi_idx].min(pin[None, None, :])
+
+                cz = jnp.pad(z[:, :n_coarse], ((0, 0), (0, 0), (0, pad)))
+                cm = jnp.pad(cm_un, ((0, 0), (0, 0), (0, pad)), constant_values=1)
 
                 def to_chunks(x, n_cb, L, nc):
                     x = x.reshape(batch_size, n_cb, nc, L)

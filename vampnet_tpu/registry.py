@@ -34,9 +34,11 @@ def _hub_download(repo_id: str, filename: str, local_path: Path) -> str:
         from huggingface_hub import hf_hub_download
 
         local_path.parent.mkdir(parents=True, exist_ok=True)
-        return hf_hub_download(
-            repo_id=repo_id, filename=filename, local_dir=local_path.parent
-        )
+        # hf_hub_download preserves the full `filename` path under local_dir,
+        # so local_dir must be the base that makes local_dir/filename equal
+        # local_path (nested names like loras/<name>/coarse.pth included)
+        base = Path(str(local_path)[: -len(filename)].rstrip("/"))
+        return hf_hub_download(repo_id=repo_id, filename=filename, local_dir=base)
     except Exception as e:  # pragma: no cover - network-dependent
         raise FileNotFoundError(
             f"checkpoint {local_path} not found locally and hub download of "

@@ -81,6 +81,9 @@ def generate(
     mask = mask.astype(jnp.int32)
 
     z_masked = jnp.where(mask.astype(bool), mask_token, z)
+    # scalar over the whole batch (reference :766) — counted BEFORE any
+    # cfg_guidance rows are appended, like the reference
+    num_mask_tokens_at_start = jnp.sum(z_masked == mask_token)
 
     if cfg_guidance is not None:
         # append fully-masked unconditional rows (reference :771-783)
@@ -89,7 +92,6 @@ def generate(
         z = jnp.concatenate([z, z_uncond], axis=0)
 
     b = z_masked.shape[0]
-    num_mask_tokens_at_start = jnp.sum(z_masked == mask_token)  # scalar (reference :766)
 
     temperature = jnp.asarray(temperature, dtype=jnp.float32)
     mask_temp = jnp.asarray(mask_temperature, dtype=jnp.float32)
@@ -115,8 +117,13 @@ def generate(
         else:
             logits = forward_fn(z_masked)  # (b, T, n_infer, V) fp32
         if cfg_guidance is not None:
+            # standard CFG on logits: uncond + g*(cond - uncond). The
+            # reference wrote g*cond + g*(1-uncond) and then discarded it
+            # (transformer.py:845-847) — that expression reduces after
+            # softmax to a prior-free likelihood ratio, so the intended
+            # formula is used here instead.
             cond, uncond = logits[:nb], logits[nb:]
-            guided = cfg_guidance * cond + cfg_guidance * (1 - uncond)
+            guided = uncond + cfg_guidance * (cond - uncond)
             logits = jnp.concatenate([guided, uncond], axis=0)
         v = logits.shape[-1]
         logits_flat = logits.reshape(b, flat_len, v)

@@ -27,19 +27,7 @@ from .osc import Dispatcher, OSCClient, OSCServer
 DOWNLOADS_DIR = ".gradio"
 
 
-class Timer:
-    """Reference unloop/client.py:14-28."""
-
-    def __init__(self):
-        self.times = {}
-
-    def tick(self, name: str):
-        self.times[name] = time.time()
-
-    def tock(self, name: str) -> float:
-        toc = time.time() - self.times[name]
-        print(f"{name} took {toc} seconds")
-        return toc
+from ..profiling import Timer  # tick/tock timer (reference unloop/client.py:14-28)
 
 
 def clear_file(file):

@@ -97,7 +97,7 @@ def loss_and_metrics(
 
     metrics = {"loss": loss}
     pred = jnp.argmax(logits_flat, axis=-1)
-    top25 = jnp.argsort(-logits_flat, axis=-1)[..., :25]
+    top25 = jax.lax.top_k(logits_flat, 25)[1]
     hit1 = (pred == target_flat).astype(jnp.float32)
     hit25 = (top25 == target_flat[..., None]).any(-1).astype(jnp.float32)
     for lo, hi in ((0.0, 0.5), (0.5, 1.0)):
