@@ -106,3 +106,34 @@ def test_beats_container_roundtrip(tmp_path):
     sig = AudioSignal(np.zeros((1, 1, 44100), np.float32), 44100)
     segs = b.beat_segments(sig)
     assert len(segs) == 3 and abs(segs[-1].end - 1.0) < 1e-6
+
+
+def test_time_stretch_length():
+    from vampnet_tpu.audio.dsp import time_stretch
+
+    x = _tone(440, seconds=1.0, sr=22050)
+    y = time_stretch(x, 2.0)  # 2x faster -> ~half length
+    assert abs(len(y) - len(x) / 2) < 2048
+    y = time_stretch(x, 1.0)
+    assert len(y) == len(x)
+
+
+def test_pitch_shift_octave():
+    from vampnet_tpu.audio.dsp import pitch_shift
+    import scipy.signal
+
+    sr = 22050
+    sig = AudioSignal(_tone(440, seconds=1.0, sr=sr)[None, None, :], sr)
+    shifted = pitch_shift(sig, 12)  # +1 octave
+    assert shifted.length == sig.length  # duration preserved
+
+    def peak_freq(x):
+        f, p = scipy.signal.periodogram(x, sr)
+        return f[np.argmax(p)]
+
+    assert abs(peak_freq(sig.samples[0, 0]) - 440) < 15
+    assert abs(peak_freq(shifted.samples[0, 0]) - 880) < 40
+
+    # identity shift returns the same signal
+    same = pitch_shift(sig, 0)
+    np.testing.assert_array_equal(same.samples, sig.samples)
