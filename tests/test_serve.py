@@ -316,3 +316,10 @@ def test_build_demo_wiring_with_mock_gradio(interface, monkeypatch):
     # UI components constructed
     assert gr.Slider.call_count >= 10
     assert gr.Dropdown.called
+
+
+def test_engine_warmup(interface):
+    eng = VampEngine(interface, max_wait_ms=100.0, max_batch=4)
+    eng.warmup(batch_sizes=(1, 2), sampling_steps=2)
+    assert eng.stats["requests"] >= 3  # 1 + 2 warmup requests went through
+    eng.close()

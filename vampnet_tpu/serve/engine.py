@@ -82,6 +82,31 @@ class VampEngine:
 
     # ---------------- public API ----------------
 
+    def warmup(self, batch_sizes=(1, 2, 4, 8), seconds=None, sampling_steps=12):
+        """Precompile the common (batch, bucket) programs at server startup so
+        first user requests don't pay the compile (minutes on remote-compiled
+        backends). Runs real tiny-masked requests through the normal path."""
+        iface = self.interface
+        t = self.bucket_tokens if seconds is None else iface.s2t(seconds)
+        n_cb = (
+            iface.c2f.n_codebooks if iface.c2f is not None else iface.coarse.n_codebooks
+        )
+        codes = np.zeros((1, n_cb, t), dtype=np.int32)
+        mask = np.ones((1, n_cb, t), dtype=np.int32)
+        futs = []
+        for bs in sorted(set(batch_sizes)):
+            futs.extend(
+                self.submit(
+                    VampRequest(codes=codes, mask=mask, seed=i,
+                                sampling_steps=sampling_steps)
+                )
+                for i in range(bs)
+            )
+            for f in futs:
+                f.result()
+            futs.clear()
+        return self
+
     def submit(self, req: VampRequest) -> Future:
         fut: Future = Future()
         self._q.put((req, fut))
