@@ -79,3 +79,44 @@ def test_blocked_with_mask():
     ref = dot_product_attention(q, k, v, bias=bias, mask=mask, impl="xla")
     out = flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=3e-4)
+
+
+def _grad_check(bias=None, mask=None, t=100, dtype=jnp.float32, atol=2e-3):
+    b, h, d = 2, 4, 64
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, t, h, d), dtype)
+    k = jax.random.normal(ks[1], (b, t, h, d), dtype)
+    v = jax.random.normal(ks[2], (b, t, h, d), dtype)
+
+    def loss_pallas(q, k, v, bias):
+        out = flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def loss_xla(q, k, v, bias):
+        out = dot_product_attention(q, k, v, bias=bias, mask=mask, impl="xla")
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    args = (q, k, v, bias)
+    argnums = (0, 1, 2) if bias is None else (0, 1, 2, 3)
+    g_p = jax.grad(loss_pallas, argnums)(*args)
+    g_x = jax.grad(loss_xla, argnums)(*args)
+    for gp, gx, name in zip(g_p, g_x, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(
+            np.asarray(gp, np.float32), np.asarray(gx, np.float32),
+            atol=atol, rtol=1e-2, err_msg=name,
+        )
+
+
+def test_vjp_matches_xla_grads_no_bias():
+    _grad_check(bias=None)
+
+
+def test_vjp_matches_xla_grads_with_bias():
+    bias = jax.random.normal(jax.random.PRNGKey(9), (4, 100, 100), jnp.float32)
+    _grad_check(bias=bias)
+
+
+def test_vjp_matches_xla_grads_with_mask():
+    bias = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 64), jnp.float32)
+    mask = jnp.ones((2, 64, 64), jnp.int32).at[:, :, 40:].set(0)
+    _grad_check(bias=bias, mask=mask, t=64)

@@ -151,13 +151,8 @@ class MultiHeadRelativeAttention(nn.Module):
         if position_bias is None and self.has_relative_attention_bias:
             position_bias = self.compute_bias(tq, tk)
 
-        # the pallas kernel has no custom VJP: training (deterministic=False,
-        # i.e. under grad) must take the differentiable XLA path
-        impl = self.attention_impl
-        if impl == "auto" and not deterministic:
-            impl = "xla"
         out = dot_product_attention(
-            qp, kp, vp, bias=position_bias, mask=mask, impl=impl
+            qp, kp, vp, bias=position_bias, mask=mask, impl=self.attention_impl
         )
         out = out.reshape(b, tq, d_model)
         out = dense("fc", self.lora_r)(out)

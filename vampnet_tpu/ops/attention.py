@@ -24,7 +24,14 @@ def dot_product_attention(
     impl: str = "xla",
 ) -> jnp.ndarray:
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from .flash_attention import MAX_SINGLE_PASS_SEQ
+
+        # the single-pass kernel has a custom VJP (trainable); the blocked
+        # long-sequence variant does not, so long sequences use XLA on auto
+        use_pallas = (
+            jax.default_backend() == "tpu" and q.shape[1] <= MAX_SINGLE_PASS_SEQ
+        )
+        impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
         from .flash_attention import flash_attention_with_bias
 

@@ -98,8 +98,215 @@ def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
     ).astype(o_ref.dtype)
 
 
+def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *, scale: float):
+    """Single-pass forward that also emits logsumexp rows (for the VJP)."""
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    bias = b_ref[0]
+
+    scores = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
+    p = (p / l).astype(v.dtype)
+    o_ref[0, :, :] = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _attn_kernel_bwd(
+    q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+):
+    """Backward for the single-pass kernel. Grid (bh, q_blocks); dk/dv
+    accumulate across q_blocks (same out block revisited sequentially)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, d)
+    k = k_ref[0].astype(jnp.float32)  # (T, d)
+    v = v_ref[0].astype(jnp.float32)  # (T, d)
+    bias = b_ref[0]  # (BQ, T)
+    lse = lse_ref[0, 0, :][:, None]  # (BQ, 1)
+    do = do_ref[0].astype(jnp.float32)  # (BQ, d)
+    delta = delta_ref[0, 0, :][:, None]  # (BQ, 1) = rowsum(do * out)
+
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    p = jnp.exp(s - lse)  # softmax probs (BQ, T)
+    # dv += p^T do
+    dv_ref[0, :, :] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, T)
+    ds = p * (dp - delta)  # dL/d(scores+bias)
+    dbias_ref[0, :, :] = ds.astype(dbias_ref.dtype)
+    ds_scaled = ds * scale
+    dq_ref[0, :, :] = jax.lax.dot_general(
+        ds_scaled, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0, :, :] += jax.lax.dot_general(
+        ds_scaled, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
+    """Single-pass forward pallas_call on padded (bh, tp, dp) arrays."""
+    bh, tp, dp = qp.shape
+    per_row = bias_p.shape[0] == bh and h != bh
+    bias_index = (
+        (lambda i, j: (i, j, 0)) if bias_p.shape[0] == bh
+        else (lambda i, j: (i % h, j, 0))
+    )
+    grid = (bh, tp // block_q)
+    in_specs = [
+        pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, tp), bias_index, memory_space=pltpu.VMEM),
+    ]
+    if with_lse:
+        return pl.pallas_call(
+            functools.partial(_attn_kernel_fwd_lse, scale=scale),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
+                jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32),
+            ),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=(
+                    pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                                 memory_space=pltpu.VMEM),
+                ),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp, bias_p)
+    return pl.pallas_call(
+        functools.partial(_attn_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attention_core(qp, kp, vp, bias_p, scale, block_q, h, interpret):
+    """Differentiable single-pass fused attention on padded arrays.
+
+    Backward is its own Pallas kernel (custom-VJP pattern): probabilities are
+    recomputed per q-block from the saved logsumexp, dk/dv accumulate across
+    q-blocks in the revisited output block, dbias is emitted per (bh, q, k)
+    and reduced over the batch outside when the bias is head-shared.
+    """
+    return _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse=False)
+
+
+def _attention_core_fwd(qp, kp, vp, bias_p, scale, block_q, h, interpret):
+    out, lse = _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse=True)
+    return out, (qp, kp, vp, bias_p, out, lse)
+
+
+def _attention_core_bwd(scale, block_q, h, interpret, res, do):
+    qp, kp, vp, bias_p, out, lse = res
+    bh, tp, dp = qp.shape
+    shared_bias = bias_p.shape[0] != bh
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, None, :]  # (bh, 1, tp)
+
+    bias_index = (
+        (lambda i, j: (i % h, j, 0)) if shared_bias else (lambda i, j: (i, j, 0))
+    )
+    grid = (bh, tp // block_q)
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_kernel_bwd, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, tp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, tp), bias_index, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, tp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, lse, do, delta)
+
+    dk = dk.astype(kp.dtype)
+    dv = dv.astype(vp.dtype)
+    if shared_bias:
+        # per-head bias shared across batch rows: sum grads over the batch
+        b = bh // h
+        dbias = dbias.reshape(b, h, tp, tp).sum(axis=0)
+    dbias = dbias.astype(bias_p.dtype)
+    return dq, dk, dv, dbias
+
+
+_attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
 
 
 def flash_attention_with_bias(
@@ -185,31 +392,8 @@ def flash_attention_with_bias(
             interpret=interpret,
         )(qp, kp, vp, bias_p)
     else:
-        bias_index = (
-            (lambda i, j: (i, j, 0)) if per_row_bias else (lambda i, j: (i % h, j, 0))
-        )
-        grid = (b * h, tp // block_q)
-        out = pl.pallas_call(
-            functools.partial(_attn_kernel, scale=scale),
-            out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
-            grid_spec=pl.GridSpec(
-                grid=grid,
-                in_specs=[
-                    pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
-                                 memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, block_q, tp), bias_index,
-                                 memory_space=pltpu.VMEM),
-                ],
-                out_specs=pl.BlockSpec(
-                    (1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-                ),
-            ),
-            interpret=interpret,
-        )(qp, kp, vp, bias_p)
+        # differentiable custom-VJP core (fwd + bwd are both Pallas kernels)
+        out = _attention_core(qp, kp, vp, bias_p, scale, block_q, h, interpret)
 
     out = out[:, :t, :d].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))
