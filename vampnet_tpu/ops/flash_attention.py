@@ -315,7 +315,9 @@ def flash_attention_with_bias(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,  # (h, t, t) additive, fp32
     mask: Optional[jnp.ndarray] = None,  # (b, t, t); 0 = blocked
-    block_q: int = 256,
+    # 128 measured fastest at VampNet shapes (smaller blocks pipeline better
+    # AND pad t to a finer grid: 862->896 keys instead of 1024)
+    block_q: int = 128,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
