@@ -68,8 +68,10 @@ def test_golden_tokens_seed_stability():
     digest = hashlib.sha256(np.asarray(out).astype(np.int32).tobytes()).hexdigest()
     out2 = gen(params, cbs, jax.random.PRNGKey(123), codes, mask, 1.0, 10.5, 0.0, 1.0)
     assert hashlib.sha256(np.asarray(out2).astype(np.int32).tobytes()).hexdigest() == digest
-    # cross-process golden (recorded on CPU backend, jax 0.9 threefry)
-    GOLDEN = "af1467c60bffeda42f9c255f0f708ea98126744e020bc7f8db35ad6fd5b7c3ae"
+    # cross-process golden (recorded on CPU backend, jax 0.9 threefry).
+    # Updated for the round-2 per-ROW N0 MaskGIT schedule (intentional
+    # semantics fix, see sampling/generate.py docstring).
+    GOLDEN = "f4baeaecab15fb328d24a4d793fa8eb556f095c07b52c8fbe0c37cc02b31597a"
     if GOLDEN != "__RECORD__":
         assert digest == GOLDEN, f"token stream changed: {digest}"
     else:

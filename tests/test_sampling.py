@@ -118,3 +118,61 @@ def test_generate_temperature_sweep_no_recompile():
         gen(params, codebooks, KEY, codes, mask, temp, 10.5, 0.0, 1.0)
     if n0 is not None:
         assert gen._cache_size() == 1
+
+
+def test_generate_schedule_counts_mask_tokens_per_row():
+    """N0 must be counted per batch row, not summed over the batch: chunks of
+    one song become batch rows, and a batch-summed N0 saturates the
+    remaining-1 clamp (schedule collapses to ~1 committed token/row/step)."""
+    cfg, model, params, codebooks, codes, _ = _tiny_setup(b=4, t=12, steps=6)
+    from vampnet_tpu.mask import _gamma
+
+    steps = 6
+    mask = jnp.ones_like(codes)  # fully masked: N0_row = n_cb * t = 48
+    n0_row = codes.shape[1] * codes.shape[2]
+
+    remasked_per_row = []
+
+    def cb(i, z_masked_new, sampled, new_mask):
+        remasked_per_row.append((int(i), np.asarray(new_mask).sum(axis=(1, 2))))
+
+    def forward(z_masked):
+        return model.apply(
+            {"params": params}, z_masked, codebooks, method="forward_codes"
+        )
+
+    generate(
+        forward, KEY, codes, mask, mask_token=cfg.mask_token,
+        sampling_steps=steps, debug_callback=cb,
+    )
+    jax.effects_barrier()
+    by_step = dict(remasked_per_row)
+    for i in range(steps - 1):
+        r = (i + 1) / steps
+        expected = min(max(1, int(np.floor(float(_gamma(r)) * n0_row))), n0_row - 1)
+        np.testing.assert_array_equal(by_step[i], expected)
+    np.testing.assert_array_equal(by_step[steps - 1], 0)  # last step commits all
+
+
+def test_generate_cfg_guidance_with_per_row_params():
+    """cfg_guidance doubles the batch; per-row (b,) sampling params must be
+    tiled for the appended unconditional rows instead of crashing the trace."""
+    cfg, model, params, codebooks, codes, _ = _tiny_setup(b=2, t=8, steps=3)
+
+    def forward(z_masked):
+        return model.apply(
+            {"params": params}, z_masked, codebooks, method="forward_codes"
+        )
+
+    out = generate(
+        forward, KEY, codes, jnp.ones_like(codes), mask_token=cfg.mask_token,
+        sampling_steps=3, cfg_guidance=1.5,
+        temperature=jnp.asarray([0.8, 1.2]),
+        mask_temperature=jnp.asarray([10.5, 4.0]),
+        top_p=jnp.asarray([0.9, 0.8]),
+        sample_cutoff=jnp.asarray([1.0, 0.5]),
+    )
+    out = np.asarray(out)
+    assert out.shape == codes.shape  # uncond rows stripped
+    assert (out != cfg.mask_token).all()
+    assert (out >= 0).all() and (out < cfg.vocab_size).all()

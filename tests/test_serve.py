@@ -323,3 +323,41 @@ def test_engine_warmup(interface):
     eng.warmup(batch_sizes=(1, 2), sampling_steps=2)
     assert eng.stats["requests"] >= 3  # 1 + 2 warmup requests went through
     eng.close()
+
+
+def test_engine_request_deterministic_solo_vs_batched(interface):
+    """A request's tokens must depend only on its own seed — identical
+    whether it ran alone or shared a device batch (per-row key streams)."""
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+
+    def solo(seed, temp):
+        eng = VampEngine(interface, max_wait_ms=1.0)
+        try:
+            return eng.vamp(
+                VampRequest(codes=codes, mask=mask, seed=seed,
+                            temperature=temp, sampling_steps=2),
+                timeout=240,
+            )
+        finally:
+            eng.close()
+
+    solo_outs = [solo(7, 1.0), solo(13, 0.9)]
+
+    eng = VampEngine(interface, max_wait_ms=500.0, max_batch=4)
+    try:
+        futs = [
+            eng.submit(VampRequest(codes=codes, mask=mask, seed=7,
+                                   temperature=1.0, sampling_steps=2)),
+            eng.submit(VampRequest(codes=codes, mask=mask, seed=13,
+                                   temperature=0.9, sampling_steps=2)),
+        ]
+        batched_outs = [f.result(timeout=240) for f in futs]
+        assert eng.stats["batched_requests"] >= 2, "must actually share a batch"
+    finally:
+        eng.close()
+
+    np.testing.assert_array_equal(solo_outs[0], batched_outs[0])
+    np.testing.assert_array_equal(solo_outs[1], batched_outs[1])
+    # different seeds genuinely differ
+    assert not np.array_equal(batched_outs[0], batched_outs[1])

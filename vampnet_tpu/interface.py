@@ -19,6 +19,7 @@ Checkpoints may be native .vtpu or reference torch .pth (converted on load).
 """
 from __future__ import annotations
 
+import functools
 import logging
 import math
 from pathlib import Path
@@ -501,6 +502,17 @@ class Interface:
         # per-request (b,) arrays must tile across chunk-expanded batch rows
         b_total = start_tokens.shape[0]
 
+        from .sampling.sample import keys_are_batched
+
+        if keys_are_batched(key) and key.shape[0] != b_total:
+            # chunk rows are laid out chunk-major (row = chunk_i*b + j, see
+            # _chunk_fns.pre): give each chunk of a request its own stream by
+            # folding the chunk index into the request's key
+            assert b_total % key.shape[0] == 0, (
+                f"per-row keys of size {key.shape[0]} do not divide batch {b_total}"
+            )
+            key = _expand_row_keys(key, b_total // key.shape[0])
+
         def expand(v, default=0.0):
             v = jnp.asarray(default if v is None else v, dtype=jnp.float32)
             if v.ndim == 1 and v.shape[0] != b_total:
@@ -927,7 +939,27 @@ class Interface:
         return fig
 
 
-def _seed_key(seed: Optional[int]) -> jax.Array:
+@jax.jit
+def _keys_from_seeds(seeds: jnp.ndarray) -> jax.Array:
+    return jax.vmap(jax.random.PRNGKey)(seeds)
+
+
+@functools.partial(jax.jit, static_argnames=("n_rep",))
+def _expand_row_keys(keys: jax.Array, n_rep: int) -> jax.Array:
+    """(b, ...) per-request keys -> (n_rep*b, ...) per-chunk-row keys with
+    row chunk_i*b + j = fold_in(keys[j], chunk_i)."""
+    per_chunk = jax.vmap(
+        lambda c: jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c)
+    )(jnp.arange(n_rep))
+    return per_chunk.reshape((-1,) + keys.shape[1:])
+
+
+def _seed_key(seed) -> jax.Array:
+    """Scalar seed -> one PRNG key (one stream for the whole batch, reference
+    semantics). A sequence/array of seeds -> per-ROW keys (b, 2): each batch
+    row then samples from its own stream (serving solo == batched)."""
     if seed is None:
         seed = int(np.random.randint(0, 2**31 - 1))
+    if isinstance(seed, (list, tuple, np.ndarray, jnp.ndarray)) and np.ndim(seed) > 0:
+        return _keys_from_seeds(jnp.asarray(np.asarray(seed, dtype=np.uint32)))
     return jax.random.PRNGKey(int(seed))

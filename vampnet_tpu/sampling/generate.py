@@ -8,10 +8,15 @@ SURVEY.md §3.1).
 
 Semantics match the reference step for step:
   r = (i+1)/steps; forward; sample with typical/top-k/top-p filters;
-  keep unmasked tokens; num_to_mask = floor(gamma(r) * N0) (N0 = total masked
-  tokens across the whole batch at start, reference :766); clamp to
+  keep unmasked tokens; num_to_mask = floor(gamma(r) * N0); clamp to
   [1, remaining-1] except on the last step; gumbel-confidence re-mask with
   temperature mask_temperature*(1-r).
+
+  One deliberate divergence: N0 is counted PER ROW, where the reference sums
+  over the whole batch (reference :766). The reference runs chunks serially
+  (batch is just "variations"), so its scalar N0 is per-chunk in practice;
+  this implementation maps chunks to batch rows, and a batch-summed N0 would
+  collapse the schedule (see inline comment).
 
 Classifier-free guidance:
   * ctrls CFG (reference :722-733): cond/uncond halves are batched through the
@@ -32,7 +37,12 @@ import jax.numpy as jnp
 
 from ..mask import _gamma
 from ..util import codebook_flatten, codebook_unflatten
-from .sample import mask_by_random_topk, sample_from_logits
+from .sample import (
+    fold_in_rows,
+    keys_are_batched,
+    mask_by_random_topk,
+    sample_from_logits,
+)
 
 
 def generate(
@@ -66,6 +76,12 @@ def generate(
     may be traced scalars or per-row (b,) arrays. With `ctrls`, every forward
     runs conditioned+unconditioned halves and applies CFG with `cfg_scale`
     (reference transformer.py:722-733).
+
+    `key` may be a single PRNG key (one noise stream for the whole batch —
+    the reference's semantics) or a batch of per-row keys ((b,) typed or
+    (b, 2) raw): then every random draw is vmapped per row, so a row's output
+    depends only on its own key/logits, never on batch-mates. This is what
+    gives the serving engine solo == batched determinism per request.
     """
     z = start_tokens.astype(jnp.int32)
     nb, n_cb, t = z.shape
@@ -81,25 +97,59 @@ def generate(
     mask = mask.astype(jnp.int32)
 
     z_masked = jnp.where(mask.astype(bool), mask_token, z)
-    # scalar over the whole batch (reference :766) — counted BEFORE any
-    # cfg_guidance rows are appended, like the reference
-    num_mask_tokens_at_start = jnp.sum(z_masked == mask_token)
+    # Per-ROW count, deliberately diverging from the reference's whole-batch
+    # scalar (reference :766): the interface turns serial chunks into batch
+    # rows, so a batch-summed N0 would make per-row floor(gamma(r)*N0)
+    # saturate the remaining-1 clamp and collapse the MaskGIT schedule to
+    # ~2-4 effective steps for any multi-chunk input. Counting per row gives
+    # each chunk-row exactly the reference's per-chunk schedule.
+    num_mask_tokens_at_start = jnp.sum(z_masked == mask_token, axis=(1, 2))
 
     if cfg_guidance is not None:
         # append fully-masked unconditional rows (reference :771-783)
         z_uncond = jnp.full_like(z, mask_token)
         z_masked = jnp.concatenate([z_masked, z_uncond], axis=0)
         z = jnp.concatenate([z, z_uncond], axis=0)
+        num_mask_tokens_at_start = jnp.concatenate(
+            [num_mask_tokens_at_start,
+             jnp.full((nb,), n_cb * t, num_mask_tokens_at_start.dtype)]
+        )
 
     b = z_masked.shape[0]
 
-    temperature = jnp.asarray(temperature, dtype=jnp.float32)
-    mask_temp = jnp.asarray(mask_temperature, dtype=jnp.float32)
+    def _per_row(p):
+        """Promote a sampling param to align with the (possibly CFG-doubled)
+        batch: per-row (nb,) arrays are tiled for the appended uncond rows."""
+        p = jnp.asarray(p, dtype=jnp.float32)
+        if cfg_guidance is not None and p.ndim == 1:
+            p = jnp.concatenate([p, p], axis=0)
+        return p
+
+    temperature = _per_row(temperature)
+    mask_temp = _per_row(mask_temperature)
+    sample_cutoff = _per_row(sample_cutoff)
+    if top_p is not None:
+        top_p = _per_row(top_p)
     steps = int(sampling_steps)
+
+    row_keys = None
+    if keys_are_batched(key):
+        row_keys = key
+        if cfg_guidance is not None:
+            # distinct streams for the appended unconditional rows
+            row_keys = jnp.concatenate(
+                [row_keys, fold_in_rows(row_keys, 0x756E63)], axis=0
+            )
+        key = jax.random.PRNGKey(0)  # unused carry placeholder
 
     def body(i, carry):
         z_masked, sampled_flat, key = carry
-        key, k_sample, k_mask = jax.random.split(key, 3)
+        if row_keys is None:
+            key, k_sample, k_mask = jax.random.split(key, 3)
+        else:
+            k_step = fold_in_rows(row_keys, i)
+            k_sample = fold_in_rows(k_step, 0)
+            k_mask = fold_in_rows(k_step, 1)
         r_scalar = (i + 1).astype(jnp.float32) / steps
         r = jnp.full((b,), r_scalar)
 

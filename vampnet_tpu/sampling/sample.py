@@ -20,6 +20,24 @@ NEG_INF = -jnp.inf
 _BISECT_ITERS = 24
 
 
+def keys_are_batched(key: jax.Array) -> bool:
+    """True if `key` is a per-row batch of PRNG keys rather than a single key.
+
+    Supports both typed key arrays (jax.random.key: scalar vs (b,)) and raw
+    uint32 keys (jax.random.PRNGKey: (2,) vs (b, 2)). Per-row keys give each
+    batch row an independent noise stream, so a row's sampled tokens do not
+    depend on its batch-mates (serving determinism: solo == batched).
+    """
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return key.ndim >= 1
+    return key.ndim >= 2
+
+
+def fold_in_rows(keys: jax.Array, data) -> jax.Array:
+    """Per-row jax.random.fold_in over a batch of keys."""
+    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, data)
+
+
 def gumbel_noise_like(key: jax.Array, t: jnp.ndarray) -> jnp.ndarray:
     """Gumbel(0,1) noise shaped like t (reference transformer.py:28-30)."""
     return jax.random.gumbel(key, t.shape)
@@ -147,7 +165,13 @@ def sample_from_logits(
         t = t[..., None]
     scaled = logits / t
     probs = jax.nn.softmax(scaled, axis=-1)
-    sampled = jax.random.categorical(key, scaled, axis=-1)
+    if keys_are_batched(key):
+        # per-row draw: row i's tokens depend only on keys[i] + logits[i]
+        sampled = jax.vmap(lambda k, l: jax.random.categorical(k, l, axis=-1))(
+            key, scaled
+        )
+    else:
+        sampled = jax.random.categorical(key, scaled, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
     sample = jnp.asarray(sample)
     while sample.ndim < sampled.ndim:  # per-row flag broadcasts over positions
@@ -169,7 +193,10 @@ def mask_by_random_topk(
     """Gumbel-confidence re-masking (reference transformer.py:1038-1074):
     confidence = log p + temperature * gumbel; the `num_to_mask` least
     confident positions get re-masked."""
-    noise = jax.random.gumbel(key, probs.shape)
+    if keys_are_batched(key):
+        noise = jax.vmap(lambda k: jax.random.gumbel(k, probs.shape[1:]))(key)
+    else:
+        noise = jax.random.gumbel(key, probs.shape)
     temperature = jnp.asarray(temperature, dtype=jnp.float32)
     if temperature.ndim == 1:
         temperature = temperature[:, None]

@@ -205,12 +205,13 @@ class VampEngine:
             [r.top_p if r.top_p is not None else 1.0 for r in reqs], np.float32
         )
         cutoff = np.array([r.sample_cutoff for r in reqs], np.float32)
-        # one key per row, but generate takes a single key: fold seeds into one
-        # deterministic key per batch + per-row gumbel offsets come from row
-        # position; per-request determinism holds for equal batch composition.
-        # For strict per-request reproducibility, single-request batches use
-        # the request's own seed.
-        seed = reqs[0].seed if n == 1 else hash(tuple(r.seed for r in reqs)) & 0x7FFFFFFF
+        # per-ROW seeds: generate() vmaps every random draw over row keys, so
+        # a request's tokens depend only on its own seed — identical solo or
+        # batched, and stable across server restarts (no Python hash()).
+        seeds = np.array([r.seed for r in reqs], dtype=np.uint32)
+        # decorrelate the c2f stage from coarse with a fixed odd-constant
+        # offset (golden-ratio increment), keeping per-request determinism
+        seeds_c2f = (seeds + np.uint32(0x9E3779B9)).astype(np.uint32)
 
         codes_d, mask_d = jnp.asarray(codes), jnp.asarray(mask)
         if self.dp > 1:
@@ -224,7 +225,7 @@ class VampEngine:
         out = iface.coarse_vamp(
             codes_d,
             mask_d,
-            seed=seed,
+            seed=seeds,
             _sampling_steps=r0.sampling_steps,
             temperature=jnp.asarray(temp),
             mask_temperature=jnp.asarray(mtemp),
@@ -235,9 +236,17 @@ class VampEngine:
             sample_cutoff=jnp.asarray(cutoff),
         )
         if not r0.coarse_only and iface.c2f is not None:
+            # forward the full per-request knob set (round-1 review: only
+            # temperature reached the fine stage; the rest silently reset)
             out = iface.coarse_to_fine(
-                out, mask=jnp.asarray(mask), seed=seed,
+                out, mask=jnp.asarray(mask), seed=seeds_c2f,
                 temperature=jnp.asarray(temp),
+                mask_temperature=jnp.asarray(mtemp),
+                typical_filtering=r0.typical_filtering,
+                typical_mass=r0.typical_mass,
+                typical_min_tokens=r0.typical_min_tokens,
+                top_p=jnp.asarray(top_p) if key[5] else None,
+                sample_cutoff=jnp.asarray(cutoff),
             )
         out_np = np.asarray(out)
         for i, (req, fut) in enumerate(items):
