@@ -198,32 +198,29 @@ class DPBeatTracker(BeatTracker):
 
 
 class WaveBeat(BeatTracker):
-    """Reference beats.py:203-223 — wraps a wavebeat torch checkpoint when the
-    `wavebeat` package is importable, otherwise falls back to DPBeatTracker."""
+    """Reference beats.py:203-223 — the neural dsTCN tracker, first-party.
+
+    Loads a wavebeat Lightning checkpoint through our torch->flax converter
+    (vampnet_tpu/wavebeat.py: BN folded into convs, one jitted forward) and
+    runs the reference's predict_beats_from_array recipe. Falls back to the
+    classical DPBeatTracker when the checkpoint is absent/unreadable."""
 
     def __init__(self, ckpt_path: str = "checkpoints/wavebeat", device: str = "cpu"):
         self.device = device
         self.model = None
-        try:  # pragma: no cover - depends on external package
-            from wavebeat.dstcn import dsTCNModel
+        try:
+            from .wavebeat import WaveBeatModel
 
-            model = dsTCNModel.load_from_checkpoint(ckpt_path, map_location=device)
-            model.eval()
-            self.model = model
+            self.model = WaveBeatModel.from_checkpoint(ckpt_path)
         except Exception as e:
-            logging.debug(f"wavebeat unavailable ({e}); using DP beat tracker")
+            logging.debug(f"wavebeat checkpoint unavailable ({e}); using DP tracker")
             self._fallback = DPBeatTracker()
 
     def extract_beats(self, signal: AudioSignal) -> Tuple[np.ndarray, np.ndarray]:
-        if self.model is not None:  # pragma: no cover
-            import torch
-
-            beats, downbeats = self.model.predict_beats_from_array(
-                audio=torch.tensor(signal.samples)[0],
-                sr=signal.sample_rate,
-                use_gpu=self.device != "cpu",
+        if self.model is not None:
+            return self.model.predict_beats_from_array(
+                signal.samples[0], signal.sample_rate
             )
-            return beats, downbeats
         return self._fallback.extract_beats(signal)
 
 
