@@ -1,0 +1,140 @@
+"""Decompose the coarse forward: per-layer marginal cost + fixed overhead.
+
+Differential timing (see bench_int8.py): ITERS_HI vs ITERS_LO dependent
+forwards inside one jitted program cancels the tunnel RPC.
+
+Run on the real TPU:  python scratch/bench_forward.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+import dataclasses
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from vampnet_tpu.modules import LMConfig, VampNetLM
+
+ITERS_LO, ITERS_HI = 10, 110
+B, T = 2, 864
+
+
+def build(cfg):
+    model = VampNetLM(cfg)
+    codes = jnp.zeros((B, cfg.n_codebooks, T), jnp.int32)
+    cbs = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim)
+    )
+    params = jax.jit(lambda k: model.init(k, codes, cbs, method="forward_codes"))(
+        jax.random.PRNGKey(0)
+    )["params"]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(params, codes, cbs, iters):
+        def body(_, codes):
+            logits = model.apply({"params": params}, codes, cbs, method="forward_codes")
+            bump = (jnp.sum(logits) * 1e-30).astype(jnp.int32)  # 0 at runtime
+            return codes + bump
+
+        return jax.lax.fori_loop(0, iters, body, codes)
+
+    return loop, params, codes, cbs
+
+
+def _wall(fn, *args, n=3):
+    np.asarray(fn(*args))
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def timeit(loop, params, codes, cbs):
+    lo = _wall(loop, params, codes, cbs, ITERS_LO)
+    hi = _wall(loop, params, codes, cbs, ITERS_HI)
+    return (hi - lo) / (ITERS_HI - ITERS_LO) * 1e3
+
+
+def main():
+    print("backend:", jax.default_backend())
+    base = LMConfig.coarse()
+    results = {}
+    variants = [
+        ("20L bf16", base),
+        ("1L bf16", dataclasses.replace(base, n_layers=1)),
+        ("20L int8", dataclasses.replace(base, quantization="int8")),
+        ("20L xla-attn", dataclasses.replace(base, attention_impl="xla")),
+    ]
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        variants = [vc for vc in variants if vc[0] in only.split(",")]
+    for tag, cfg in variants:
+        loop, params, codes, cbs = build(cfg)
+        if cfg.quantization == "int8":
+            from vampnet_tpu.modules.quantize import quantize_lm_params
+
+            params = quantize_lm_params(params)
+        t = timeit(loop, params, codes, cbs)
+        results[tag] = t
+        print(f"{tag}: {t:.3f} ms / forward")
+    if "20L bf16" in results and "1L bf16" in results:
+        per_layer = (results["20L bf16"] - results["1L bf16"]) / 19
+        fixed = results["1L bf16"] - per_layer
+        print(f"per-layer {per_layer:.3f} ms | fixed (embed+classifier+reshape) {fixed:.3f} ms")
+
+
+def surgery():
+    """Locate the fixed ~2.2 ms: time sub-graphs of the forward."""
+    import functools
+
+    base = LMConfig.coarse()
+    model = VampNetLM(base)
+    codes = jnp.zeros((B, base.n_codebooks, T), jnp.int32)
+    cbs = jax.random.normal(
+        jax.random.PRNGKey(1), (base.n_codebooks, base.vocab_size, base.latent_dim)
+    )
+    params = jax.jit(lambda k: model.init(k, codes, cbs, method="forward_codes"))(
+        jax.random.PRNGKey(0)
+    )["params"]
+
+    def lp(method, mk_bump):
+        @functools.partial(jax.jit, static_argnames=("iters",))
+        def loop(params, codes, cbs, iters):
+            def body(_, codes):
+                out = model.apply({"params": params}, codes, cbs, method=method)
+                return codes + mk_bump(out)
+
+            return jax.lax.fori_loop(0, iters, body, codes)
+
+        return loop
+
+    bump_f = lambda out: (jnp.sum(out.astype(jnp.float32)) * 1e-30).astype(jnp.int32)
+
+    variants = {
+        "embed only": lambda m, c, cb: m.embedding(m.from_codes(c, cb)),
+        "embed+stack (no classifier)": lambda m, c, cb: m.transformer(
+            m.embedding(m.from_codes(c, cb))
+        ),
+        "full": lambda m, c, cb: m.forward_codes(c, cb),
+    }
+    for tag, method in variants.items():
+        loop = lp(method, bump_f)
+        t = timeit(loop, params, codes, cbs)
+        print(f"{tag}: {t:.3f} ms")
+
+
+if __name__ == "__main__":
+    if os.environ.get("BENCH_SURGERY"):
+        surgery()
+    else:
+        main()

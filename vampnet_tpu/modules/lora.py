@@ -37,7 +37,11 @@ class LoRADense(nn.Module):
         if self.quantize:
             # w8a8: int8 weights (HBM halved vs bf16, 2x MXU peak on v5e) with
             # per-output-channel scales; activations dynamically quantized
-            # per row. Populate via modules.quantize.quantize_lm_params.
+            # per row, fused in one Pallas kernel (ops/int8_matmul.py) so the
+            # quant passes never hit HBM. Populate via
+            # modules.quantize.quantize_lm_params.
+            from ..ops.int8_matmul import w8a8_matmul
+
             kernel_q = self.param(
                 "kernel_q", nn.initializers.zeros,
                 (in_features, self.features), jnp.int8,
@@ -45,16 +49,7 @@ class LoRADense(nn.Module):
             kernel_scale = self.param(
                 "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
             )
-            a = x.astype(jnp.float32)
-            a_max = jnp.max(jnp.abs(a), axis=-1, keepdims=True)
-            a_scale = jnp.maximum(a_max, 1e-8) / 127.0
-            x_q = jnp.clip(jnp.round(a / a_scale), -127, 127).astype(jnp.int8)
-            y_i32 = jax.lax.dot_general(
-                x_q, kernel_q,
-                dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            y = (y_i32.astype(jnp.float32) * a_scale * kernel_scale).astype(self.dtype)
+            y = w8a8_matmul(x, kernel_q, kernel_scale, out_dtype=self.dtype)
         else:
             kernel = self.param(
                 "kernel",
