@@ -18,11 +18,22 @@ from vampnet_tpu.audio import AudioSignal
 from vampnet_tpu.eval import FrechetAudioDistance, mel_spectrogram_loss
 
 
-def evaluate(exp_dir: str, baseline_key: str = "baseline", audio_ext: str = ".wav"):
+def evaluate(exp_dir: str, baseline_key: str = "baseline", audio_ext: str = ".wav",
+             vggish_ckpt: str = None):
     exp_dir = Path(exp_dir)
     assert exp_dir.exists(), f"exp_dir {exp_dir} does not exist"
 
-    frechet = FrechetAudioDistance(audio_ext=audio_ext, verbose=True)
+    # with a torchvggish checkpoint the FAD is literature-comparable
+    # (reference eval.py:28-34 uses pretrained VGGish); otherwise the
+    # self-contained log-mel embedder gives self-consistent scores
+    embedding_fn = None
+    if vggish_ckpt:
+        from vampnet_tpu.vggish import VGGishEmbedder
+
+        embedding_fn = VGGishEmbedder(vggish_ckpt)
+    frechet = FrechetAudioDistance(
+        embedding_fn=embedding_fn, audio_ext=audio_ext, verbose=True
+    )
 
     conditions = [d.name for d in exp_dir.iterdir() if d.is_dir()]
     assert baseline_key in conditions, f"baseline_key {baseline_key} not found in {exp_dir}"
@@ -80,6 +91,7 @@ def main(argv=None):
         exp_dir=args.get("exp_dir"),
         baseline_key=args.get("baseline_key", "baseline"),
         audio_ext=args.get("audio_ext", ".wav"),
+        vggish_ckpt=args.get("vggish_ckpt"),
     )
 
 
