@@ -135,12 +135,15 @@ def _copy_torch_to_flax(ref_model, params, cfg):
     put(("embedding", "special_MASK"), sd["embedding.special.MASK"])
     put(("embedding", "out_proj", "kernel"), sd["embedding.out_proj.weight"][:, :, 0].T)
     put(("embedding", "out_proj", "bias"), sd["embedding.out_proj.bias"])
-    # classifier (weight-norm conv1d: collapse g*v/||v||)
+    # classifier (weight-norm conv1d: collapse g*v/||v||); reference channels
+    # are vocab-major, ours codebook-major (see convert.py)
     wv = sd["classifier.layers.0.weight_v"][:, :, 0]
     wg = sd["classifier.layers.0.weight_g"][:, 0, 0]
     w = wg[:, None] * wv / np.linalg.norm(wv, axis=1, keepdims=True)
-    put(("classifier", "kernel"), w.T)
-    put(("classifier", "bias"), sd["classifier.layers.0.bias"])
+    n_out, v = w.shape[0], cfg.vocab_size
+    perm = (np.arange(n_out) % v) * (n_out // v) + (np.arange(n_out) // v)
+    put(("classifier", "kernel"), w[perm].T)
+    put(("classifier", "bias"), sd["classifier.layers.0.bias"][perm])
     # transformer layers
     for i in range(cfg.n_layers):
         p = f"transformer.layers.{i}"

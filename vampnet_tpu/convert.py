@@ -112,9 +112,16 @@ def lm_params_from_state_dict(sd: Dict[str, np.ndarray], cfg: LMConfig) -> Any:
         w, b = _collapse_wn(sd, "classifier.layers.0")
     else:
         w, b = sd["classifier.layers.0.weight"][:, :, 0], sd.get("classifier.layers.0.bias")
-    put(("classifier", "kernel"), w.T)
+    # reference classifier channels are vocab-major ("b (p c) t",
+    # transformer.py:634); ours are codebook-major so the forward needs no
+    # minor-dim logits transpose — permute the out-channels here instead
+    n_out = w.shape[0]
+    v = cfg.vocab_size
+    n_pred = n_out // v
+    perm = (np.arange(n_out) % v) * n_pred + (np.arange(n_out) // v)
+    put(("classifier", "kernel"), w[perm].T)
     if b is not None:
-        put(("classifier", "bias"), b)
+        put(("classifier", "bias"), b[perm])
 
     def put_linear(ours, ref):
         put(ours + ("kernel",), sd[f"{ref}.weight"].T)

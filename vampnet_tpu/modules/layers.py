@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -72,8 +73,15 @@ class CodebookEmbedding(nn.Module):
         table = jnp.concatenate(
             [codebooks, special_rows.astype(codebooks.dtype)], axis=1
         )  # (n_codebooks, vocab+n_special, latent)
-        cb_idx = jnp.arange(n_cb)[None, :, None]
-        latent = table[cb_idx, codes]  # (b, n_cb, t, latent)
+        # one-hot matmul instead of a gather: TPU gathers with an
+        # 8-element minor dim serialize badly; a 0/1 contraction selects the
+        # same rows exactly (one nonzero product per output) and rides the
+        # MXU, with the one-hot fused into the dot by XLA
+        onehot = jax.nn.one_hot(codes, table.shape[1], dtype=table.dtype)
+        latent = jnp.einsum(
+            "bcts,csl->bctl", onehot, table,
+            preferred_element_type=table.dtype,
+        )  # (b, n_cb, t, latent)
         b, _, t, ld = latent.shape
         return jnp.swapaxes(latent, 1, 2).reshape(b, t, n_cb * ld)
 

@@ -148,6 +148,32 @@ class MultiHeadRelativeAttention(nn.Module):
         kp = kp.reshape(b, tk, self.n_head, d_head)
         vp = vp.reshape(b, tk, self.n_head, d_head)
 
+        if self.attention_impl == "ring":
+            # sequence-parallel ring attention (ops/ring_attention.py): the
+            # model must be applied under shard_map with the time axis
+            # sharded over mesh axis "sp". The T5 bias is never materialized;
+            # the bucket TABLE is what layer 0 shares downward.
+            from ..ops.ring_attention import ring_attention
+
+            assert mask is None, "ring attention does not take a mask"
+            if position_bias is None and self.has_relative_attention_bias:
+                position_bias = self.param(
+                    "relative_attention_bias",
+                    nn.initializers.normal(stddev=1.0),
+                    (self.attention_num_buckets, self.n_head),
+                    self.param_dtype,
+                )
+            out = ring_attention(
+                qp, kp, vp, position_bias, "sp",
+                bucket_fn=relative_position_bucket,
+                num_buckets=self.attention_num_buckets,
+                max_distance=self.attention_max_distance,
+                bidirectional=self.bidirectional,
+            )
+            out = out.reshape(b, tq, d_model)
+            out = dense("fc", self.lora_r)(out)
+            return out, position_bias
+
         if position_bias is None and self.has_relative_attention_bias:
             position_bias = self.compute_bias(tq, tk)
 
@@ -360,9 +386,12 @@ class VampNetLM(nn.Module):
             quantize=cfg.quantization == "int8",
             name="transformer",
         )
-        # 1x1 conv classifier (reference transformer.py:596-604) as a Dense;
-        # feature order is vocab-major/codebook-minor to match the reference's
-        # "b (p c) t" channel layout for weight conversion.
+        # 1x1 conv classifier (reference transformer.py:596-604) as a Dense.
+        # Feature order is CODEBOOK-major/vocab-minor — the reference's
+        # "b (p c) t" channels are vocab-major, but emitting that layout
+        # costs a minor-dim (V, C) -> (C, V) transpose of the ~28 MB logits
+        # tensor every forward (~2 ms on v5e). Converters permute the kernel
+        # columns instead (convert.py), so the reshape below is free.
         self.classifier = nn.Dense(
             cfg.vocab_size * cfg.n_predict_codebooks,
             dtype=jnp.bfloat16,
@@ -402,10 +431,11 @@ class VampNetLM(nn.Module):
         )
         if return_activations:
             out, activations = out
-        logits = self.classifier(out)  # (b, t, vocab*C)
+        logits = self.classifier(out)  # (b, t, C*vocab), codebook-major
         b, t, _ = logits.shape
-        logits = logits.reshape(b, t, cfg.vocab_size, cfg.n_predict_codebooks)
-        logits = jnp.transpose(logits, (0, 1, 3, 2)).astype(jnp.float32)
+        logits = logits.reshape(
+            b, t, cfg.n_predict_codebooks, cfg.vocab_size
+        ).astype(jnp.float32)
         if return_activations:
             return logits, activations
         return logits
