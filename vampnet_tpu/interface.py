@@ -482,6 +482,7 @@ class Interface:
         top_p: Optional[float] = None,
         sample_cutoff: float = 1.0,
         cfg_guidance: Optional[float] = None,
+        sampler_impl: str = "auto",
         seed: Optional[int] = None,  # consumed upstream; accepted for parity
         **_ignored,
     ) -> jnp.ndarray:
@@ -496,6 +497,7 @@ class Interface:
             top_k=top_k,
             use_top_p=top_p is not None,
             cfg_guidance=cfg_guidance,
+            sampler_impl=sampler_impl,
         )
         codebooks = self._codebooks[: lm.n_codebooks]
 

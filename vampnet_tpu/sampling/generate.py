@@ -65,6 +65,7 @@ def generate(
     ctrls=None,
     ctrl_masks=None,
     cfg_scale: float = 3.0,
+    sampler_impl: str = "auto",  # auto | xla | fused (Pallas, TPU only)
     debug_callback=None,
 ) -> jnp.ndarray:
     """Run the MaskGIT loop; returns sampled codes (b, n_codebooks, t).
@@ -142,6 +143,26 @@ def generate(
             )
         key = jax.random.PRNGKey(0)  # unused carry placeholder
 
+    # fused Pallas sampler (ops/sampler_kernel.py): 4.4x faster per step on
+    # TPU (0.23 vs 1.03 ms at coarse shapes) with its OWN deterministic
+    # stream (pltpu PRNG != threefry), so tokens differ from the xla path
+    if sampler_impl == "auto":
+        sampler_impl = (
+            "fused"
+            if jax.default_backend() == "tpu" and top_k is None
+            else "xla"
+        )
+    if sampler_impl == "fused":
+        assert top_k is None, "fused sampler does not implement top_k"
+        base = row_keys if row_keys is not None else jax.vmap(
+            lambda r: jax.random.fold_in(key, r)
+        )(jnp.arange(b))
+        fused_keys_u32 = (
+            jax.random.key_data(base)
+            if jnp.issubdtype(base.dtype, jax.dtypes.prng_key)
+            else base
+        ).astype(jnp.uint32)
+
     def body(i, carry):
         z_masked, sampled_flat, key = carry
         if row_keys is None:
@@ -181,18 +202,30 @@ def generate(
         do_sample = (i.astype(jnp.float32) / steps) <= jnp.asarray(
             sample_cutoff, dtype=jnp.float32
         )
-        sampled, selected_probs = sample_from_logits(
-            k_sample,
-            logits_flat,
-            sample=do_sample,
-            temperature=temperature,
-            typical_filtering=typical_filtering,
-            typical_mass=typical_mass,
-            typical_min_tokens=typical_min_tokens,
-            top_k=top_k,
-            top_p=top_p,
-            return_probs=True,
-        )
+        if sampler_impl == "fused":
+            from ..ops.sampler_kernel import fused_sample_from_logits
+
+            sampled, selected_probs = fused_sample_from_logits(
+                fused_keys_u32, i, logits_flat,
+                temperature, do_sample, top_p=top_p,
+                typical_filtering=typical_filtering,
+                typical_mass=float(typical_mass),
+                typical_min_tokens=int(typical_min_tokens),
+                use_top_p=top_p is not None,
+            )
+        else:
+            sampled, selected_probs = sample_from_logits(
+                k_sample,
+                logits_flat,
+                sample=do_sample,
+                temperature=temperature,
+                typical_filtering=typical_filtering,
+                typical_mass=typical_mass,
+                typical_min_tokens=typical_min_tokens,
+                top_k=top_k,
+                top_p=top_p,
+                return_probs=True,
+            )
 
         zm_flat = codebook_flatten(z_masked[:, ncc:, :])
         cur_mask = zm_flat == mask_token
@@ -245,6 +278,7 @@ def build_generate_fn(
     top_k: Optional[int] = None,
     use_top_p: bool = False,
     cfg_guidance: Optional[float] = None,
+    sampler_impl: str = "auto",
     donate: bool = True,
 ) -> Callable:
     """Build a jitted generate for a VampNetLM `model`.
@@ -287,6 +321,7 @@ def build_generate_fn(
             ctrls=ctrls,
             ctrl_masks=ctrl_masks,
             cfg_scale=cfg_scale,
+            sampler_impl=sampler_impl,
         )
 
     return fn
