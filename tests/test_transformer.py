@@ -230,3 +230,25 @@ def test_forward_logits_match_reference_torch():
     # and correlation should be essentially 1
     c = np.corrcoef(ours.ravel(), ref_np.ravel())[0, 1]
     assert c > 0.999
+
+
+def test_precomputed_position_bias_matches_inline():
+    """forward_codes(position_bias=...) must equal the inline-computed path —
+    the sampler hoists the bias out of its step loop (seq-length-only)."""
+    from vampnet_tpu.modules.transformer import position_bias_from_params
+
+    cfg = LMConfig(
+        n_heads=2, n_layers=2, n_codebooks=2, latent_dim=4,
+        embedding_dim=32, vocab_size=16, dropout=0.0,
+    )
+    model = VampNetLM(cfg)
+    codes = jax.random.randint(jax.random.PRNGKey(0), (1, 2, 24), 0, 16)
+    cbs = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 4))
+    params = model.init(jax.random.PRNGKey(2), codes, cbs, method="forward_codes")["params"]
+
+    ref = model.apply({"params": params}, codes, cbs, method="forward_codes")
+    bias = position_bias_from_params(params, cfg, 24)
+    out = model.apply(
+        {"params": params}, codes, cbs, method="forward_codes", position_bias=bias
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

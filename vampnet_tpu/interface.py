@@ -853,10 +853,18 @@ class Interface:
                 cm_c = to_chunks(cm, n_coarse, chunk_len, n_chunks)
                 z_masked = jnp.where(cm_c.astype(bool), mask_token, cz_c)
 
+                from .modules.transformer import position_bias_from_params
+
+                # T5 bias hoisted out of both MaskGIT loops (seq-length-only)
+                coarse_bias = position_bias_from_params(
+                    coarse_params, coarse_lm.config, chunk_len
+                )
+
                 def fwd_coarse(zm, c=None, cmk=None):
                     return coarse_lm.model.apply(
                         {"params": coarse_params}, zm,
                         codebooks[:n_coarse], method="forward_codes",
+                        position_bias=coarse_bias,
                     )
 
                 tile = lambda v: jnp.tile(v, n_chunks) if v.ndim == 1 else v
@@ -884,10 +892,14 @@ class Interface:
                     mf_c = to_chunks(mf, n_cb, c2f_chunk, n_chunks_f)
                     zf_masked = jnp.where(mf_c.astype(bool), mask_token, zf_c)
 
+                    c2f_bias = position_bias_from_params(
+                        c2f_params, c2f_lm.config, c2f_chunk
+                    )
+
                     def fwd_c2f(zm, c=None, cmk=None):
                         return c2f_lm.model.apply(
                             {"params": c2f_params}, zm, codebooks[:n_cb],
-                            method="forward_codes",
+                            method="forward_codes", position_bias=c2f_bias,
                         )
 
                     tile_f = lambda v: jnp.tile(v, n_chunks_f) if v.ndim == 1 else v

@@ -99,6 +99,26 @@ def relative_position_bucket(
     return ret + jnp.where(is_small, n, val_if_large)
 
 
+def position_bias_from_params(params, cfg, t_q: int, t_k: Optional[int] = None):
+    """(heads, t_q, t_k) T5 bias computed directly from the layer-0 table.
+
+    Building the bias costs ~2 ms at coarse shapes (bucket math + a 60 MB
+    gather/transpose) — trivial once per request, ruinous once per MaskGIT
+    step. The sampler computes it HERE, outside its fori_loop, and threads
+    it through `forward_codes(position_bias=...)`; it depends only on the
+    sequence length, never on the tokens."""
+    t_k = t_q if t_k is None else t_k
+    table = params["transformer"]["layers_0"]["self_attn"]["relative_attention_bias"]
+    rel = jnp.arange(t_k)[None, :] - jnp.arange(t_q)[:, None]
+    buckets = relative_position_bucket(
+        rel,
+        bidirectional=True,
+        num_buckets=cfg.attention_num_buckets,
+        max_distance=cfg.attention_max_distance,
+    )
+    return jnp.transpose(table[buckets], (2, 0, 1))
+
+
 class RMSNorm(nn.Module):
     """Scale-only T5 layer norm (reference transformer.py:37-58); fp32 stats."""
 
@@ -285,8 +305,8 @@ class TransformerStack(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, x_mask=None, deterministic=True, return_activations=False):
-        position_bias = None
+    def __call__(self, x, x_mask=None, deterministic=True, return_activations=False,
+                 position_bias=None):
         activations = []
         for i in range(self.n_layers):
             x, position_bias = TransformerLayer(
@@ -416,6 +436,7 @@ class VampNetLM(nn.Module):
         ctrl_masks=None,
         deterministic: bool = True,
         return_activations: bool = False,
+        position_bias=None,  # precomputed T5 bias (position_bias_from_params)
     ):
         """Returns logits (b, t, n_predict_codebooks, vocab) in fp32.
 
@@ -427,7 +448,8 @@ class VampNetLM(nn.Module):
         if cfg.ctrl_dims is not None:
             x = x + self.ctrl_encoder(x, ctrls, ctrl_masks, deterministic=deterministic)
         out = self.transformer(
-            x, deterministic=deterministic, return_activations=return_activations
+            x, deterministic=deterministic, return_activations=return_activations,
+            position_bias=position_bias,
         )
         if return_activations:
             out, activations = out
@@ -460,6 +482,7 @@ class VampNetLM(nn.Module):
         ctrls=None,
         ctrl_masks=None,
         deterministic: bool = True,
+        position_bias=None,
     ):
         """codes -> logits in one call (sampler hot path)."""
         return self(
@@ -467,4 +490,5 @@ class VampNetLM(nn.Module):
             ctrls=ctrls,
             ctrl_masks=ctrl_masks,
             deterministic=deterministic,
+            position_bias=position_bias,
         )

@@ -295,10 +295,20 @@ def build_generate_fn(
     def fn(params, codebooks, key, start_tokens, mask, temperature,
            mask_temperature, top_p, sample_cutoff, ctrls=None, ctrl_masks=None,
            cfg_scale=3.0):
+        # T5 bias depends only on seq length: build it ONCE here, not once
+        # per MaskGIT step inside the fori_loop (~2 ms/step at coarse shapes)
+        bias = None
+        if model.config.attention_impl != "ring":
+            from ..modules.transformer import position_bias_from_params
+
+            bias = position_bias_from_params(
+                params, model.config, start_tokens.shape[-1]
+            )
+
         def forward(z_masked, c=None, cm=None):
             return model.apply(
                 {"params": params}, z_masked, codebooks, c, cm,
-                method="forward_codes",
+                method="forward_codes", position_bias=bias,
             )
 
         return generate(
