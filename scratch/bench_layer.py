@@ -74,7 +74,52 @@ def main():
         TransformerLayer(n_heads=H, has_relative_attention_bias=True, dropout=0.0),
         x,
     )
-    print(f"full layer: {t_layer:.3f} ms")
+    print(f"full layer (bias built inside): {t_layer:.3f} ms")
+
+    # post-hoist shape: bias precomputed once, threaded through the layer
+    table0 = jax.random.normal(jax.random.PRNGKey(3), (32, H), jnp.float32)
+    rel0 = jnp.arange(T)[None, :] - jnp.arange(T)[:, None]
+    buckets0 = relative_position_bucket(rel0, bidirectional=True, num_buckets=32,
+                                        max_distance=128)
+    bias0 = jnp.transpose(table0[buckets0], (2, 0, 1))
+    mod_nb = TransformerLayer(n_heads=H, has_relative_attention_bias=False, dropout=0.0)
+    params_nb = mod_nb.init(jax.random.PRNGKey(0), x, position_bias=bias0)["params"]
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_nb(params, x, bias, iters):
+        def body(_, x):
+            out, _ = mod_nb.apply({"params": params}, x, position_bias=bias)
+            return chain(x, out)
+
+        return jax.lax.fori_loop(0, iters, body, x)
+
+    print(f"full layer (bias precomputed): {timeit(loop_nb, params_nb, x, bias0):.3f} ms")
+
+    # norm -> dense chain at qkv/ffn shapes: how much does the unfused norm add?
+    import flax.linen as nn
+
+    class NormDense(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self, x):
+            y = RMSNorm(name="n")(x)
+            return nn.Dense(self.features, dtype=jnp.bfloat16,
+                            param_dtype=jnp.float32, name="d")(y)
+
+    class BareDense(nn.Module):
+        features: int
+
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(self.features, dtype=jnp.bfloat16,
+                            param_dtype=jnp.float32, name="d")(x)
+
+    for f in (1280, 5120):
+        tn = bench_module(NormDense(features=f), x)
+        tb = bench_module(BareDense(features=f), x)
+        print(f"norm+dense({f}): {tn:.3f} ms   bare dense({f}): {tb:.3f} ms"
+              f"   norm adds {tn - tb:.3f} ms")
 
     t_attn_mod = bench_module(
         MultiHeadRelativeAttention(n_head=H, has_relative_attention_bias=True),

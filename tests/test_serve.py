@@ -361,3 +361,47 @@ def test_engine_request_deterministic_solo_vs_batched(interface):
     np.testing.assert_array_equal(solo_outs[1], batched_outs[1])
     # different seeds genuinely differ
     assert not np.array_equal(batched_outs[0], batched_outs[1])
+
+
+def test_engine_pipelined_batches(interface):
+    """More sequential batches than pipeline_depth: dispatch/collect overlap
+    and the bounded in-flight queue's backpressure must not reorder, drop, or
+    cross-contaminate results."""
+    eng = VampEngine(interface, max_wait_ms=1.0, max_batch=1, pipeline_depth=2)
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+    seeds = [7, 8, 7, 8, 7]
+    try:
+        futs = [
+            eng.submit(VampRequest(codes=codes, mask=mask, seed=s, sampling_steps=2))
+            for s in seeds
+        ]
+        outs = [f.result(timeout=240) for f in futs]
+    finally:
+        eng.close()
+    for o in outs:
+        assert o.shape == codes.shape
+    # equal seeds -> identical tokens, across different pipelined batches
+    np.testing.assert_array_equal(outs[0], outs[2])
+    np.testing.assert_array_equal(outs[2], outs[4])
+    np.testing.assert_array_equal(outs[1], outs[3])
+    assert not np.array_equal(outs[0], outs[1])
+
+
+def test_engine_dispatch_error_propagates(interface):
+    """A malformed request must fail ITS future, not kill the scheduler."""
+    eng = VampEngine(interface, max_wait_ms=1.0)
+    codes = np.asarray(interface.encode(_sig()))
+    mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
+    bad = VampRequest(codes=codes[:, :1, :], mask=mask, sampling_steps=2)
+    try:
+        with pytest.raises(Exception):
+            eng.vamp(bad, timeout=240)
+        # the engine must still serve well-formed requests afterwards
+        out = eng.vamp(
+            VampRequest(codes=codes, mask=mask, seed=1, sampling_steps=2),
+            timeout=240,
+        )
+        assert out.shape == codes.shape
+    finally:
+        eng.close()

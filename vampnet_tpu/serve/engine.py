@@ -12,7 +12,12 @@ into shared device batches:
   * shapes are bucketed (token length padded to the coarse chunk grid) so the
     compile cache stays small;
   * static sampling config (steps, typical flags) keys the bucket — requests
-    with different static configs run in separate batches.
+    with different static configs run in separate batches;
+  * batches are **pipelined**: a dispatcher thread forms and dispatches device
+    programs (JAX async dispatch returns before execution), and a collector
+    thread syncs results back. While batch A's output is in flight through
+    the device tunnel (~150 ms RPC), batch B is already running — the device
+    never idles between batches. `pipeline_depth` bounds in-flight batches.
 
 The engine wraps an `Interface` and reuses its jit caches.
 """
@@ -55,6 +60,7 @@ class VampEngine:
         max_wait_ms: float = 5.0,
         bucket_tokens: Optional[int] = None,
         data_parallel: bool = False,
+        pipeline_depth: int = 2,
     ):
         """With `data_parallel=True` (requires a prior `interface.shard()`),
         request batches are sharded over the mesh's dp axis — concurrent
@@ -75,9 +81,16 @@ class VampEngine:
         else:
             self.dp = 1
         self._q: "queue.Queue[Tuple[VampRequest, Future]]" = queue.Queue()
+        # dispatched-but-unsynced batches; bounded put() is the backpressure
+        # that caps device memory at pipeline_depth concurrent batches
+        self._inflight: "queue.Queue[Tuple[Any, List, List[int]]]" = queue.Queue(
+            maxsize=max(1, pipeline_depth)
+        )
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._collector = threading.Thread(target=self._collect_loop, daemon=True)
         self._thread.start()
+        self._collector.start()
         self.stats = {"batches": 0, "requests": 0, "batched_requests": 0}
 
     # ---------------- public API ----------------
@@ -118,6 +131,7 @@ class VampEngine:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5)
+        self._collector.join(timeout=5)
 
     # ---------------- scheduler ----------------
 
@@ -168,14 +182,40 @@ class VampEngine:
             )
             for key, items in groups.items():
                 try:
-                    self._run_group(key, items)
+                    out, lens = self._dispatch_group(key, items)
                 except Exception as e:  # pragma: no cover - defensive
                     tb = traceback.format_exc()
                     for _req, fut in items:
                         if not fut.done():
                             fut.set_exception(RuntimeError(f"{e}\n{tb}"))
+                    continue
+                # blocks when pipeline_depth batches are already in flight
+                self._inflight.put((out, items, lens))
 
-    def _run_group(self, key, items: List[Tuple[VampRequest, Future]]):
+    def _collect_loop(self):
+        """Sync dispatched batches back to the host and resolve futures.
+
+        Runs concurrently with the dispatcher: np.asarray here waits on the
+        device + transfer while the dispatcher is already building and
+        dispatching the next batch."""
+        while not (self._stop.is_set() and self._inflight.empty()):
+            try:
+                out, items, lens = self._inflight.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            try:
+                out_np = np.asarray(out)
+            except Exception as e:  # pragma: no cover - device-side failure
+                tb = traceback.format_exc()
+                for _req, fut in items:
+                    if not fut.done():
+                        fut.set_exception(RuntimeError(f"{e}\n{tb}"))
+                continue
+            for i, (_req, fut) in enumerate(items):
+                if not fut.done():
+                    fut.set_result(out_np[i : i + 1, :, : lens[i]])
+
+    def _dispatch_group(self, key, items: List[Tuple[VampRequest, Future]]):
         iface = self.interface
         t_bucket = key[0]
         reqs = [r for r, _ in items]
@@ -248,7 +288,6 @@ class VampEngine:
                 top_p=jnp.asarray(top_p) if key[5] else None,
                 sample_cutoff=jnp.asarray(cutoff),
             )
-        out_np = np.asarray(out)
-        for i, (req, fut) in enumerate(items):
-            if not fut.done():
-                fut.set_result(out_np[i : i + 1, :, : lens[i]])
+        # no sync here: JAX async dispatch has queued the device programs;
+        # the collector thread does the (slow, tunnel-bound) host transfer
+        return out, lens
