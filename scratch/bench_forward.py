@@ -27,9 +27,9 @@ ITERS_LO, ITERS_HI = 10, 110
 B, T = 2, 864
 
 
-def build(cfg):
+def build(cfg, b=B, t=T):
     model = VampNetLM(cfg)
-    codes = jnp.zeros((B, cfg.n_codebooks, T), jnp.int32)
+    codes = jnp.zeros((b, cfg.n_codebooks, t), jnp.int32)
     cbs = jax.random.normal(
         jax.random.PRNGKey(1), (cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim)
     )
@@ -69,17 +69,22 @@ def main():
     print("backend:", jax.default_backend())
     base = LMConfig.coarse()
     results = {}
+    c2f = LMConfig.c2f()
     variants = [
-        ("20L bf16", base),
-        ("1L bf16", dataclasses.replace(base, n_layers=1)),
-        ("20L int8", dataclasses.replace(base, quantization="int8")),
-        ("20L xla-attn", dataclasses.replace(base, attention_impl="xla")),
+        ("20L bf16", base, B, T),
+        ("1L bf16", dataclasses.replace(base, n_layers=1), B, T),
+        ("20L int8", dataclasses.replace(base, quantization="int8"), B, T),
+        ("20L xla-attn", dataclasses.replace(base, attention_impl="xla"), B, T),
+        ("20L xla-ffn", dataclasses.replace(base, ffn_impl="xla"), B, T),
+        # c2f at its vamp_e2e serving shape: 2x10s -> 8 rows of 3 s chunks
+        ("c2f 16L bf16", c2f, 8, 260),
+        ("c2f 1L bf16", dataclasses.replace(c2f, n_layers=1), 8, 260),
     ]
     only = os.environ.get("BENCH_ONLY")
     if only:
         variants = [vc for vc in variants if vc[0] in only.split(",")]
-    for tag, cfg in variants:
-        loop, params, codes, cbs = build(cfg)
+    for tag, cfg, b, t in variants:
+        loop, params, codes, cbs = build(cfg, b, t)
         if cfg.quantization == "int8":
             from vampnet_tpu.modules.quantize import quantize_lm_params
 
@@ -91,6 +96,10 @@ def main():
         per_layer = (results["20L bf16"] - results["1L bf16"]) / 19
         fixed = results["1L bf16"] - per_layer
         print(f"per-layer {per_layer:.3f} ms | fixed (embed+classifier+reshape) {fixed:.3f} ms")
+    if "c2f 16L bf16" in results and "c2f 1L bf16" in results:
+        per_layer = (results["c2f 16L bf16"] - results["c2f 1L bf16"]) / 15
+        fixed = results["c2f 1L bf16"] - per_layer
+        print(f"c2f per-layer {per_layer:.3f} ms | c2f fixed {fixed:.3f} ms")
 
 
 def surgery():

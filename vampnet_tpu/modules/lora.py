@@ -30,10 +30,25 @@ class LoRADense(nn.Module):
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     quantize: bool = False  # int8 weights + per-out-channel scales
+    # return the kernel param instead of computing x @ kernel — lets a parent
+    # feed the weight into a fused Pallas kernel (ops/ffn_kernel.py) while the
+    # param tree stays identical to the normal path. Only valid at apply time
+    # with r == 0 and quantize == False. `in_features` overrides the shape
+    # inference when the exposing caller's x is not this layer's input.
+    expose_kernel: bool = False
+    in_features: Any = None
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        in_features = self.in_features or x.shape[-1]
+        if self.expose_kernel:
+            assert self.r == 0 and not self.quantize and not self.use_bias
+            return self.param(
+                "kernel",
+                nn.initializers.lecun_normal(),
+                (in_features, self.features),
+                self.param_dtype,
+            )
         if self.quantize:
             # w8a8: int8 weights (HBM halved vs bf16, 2x MXU peak on v5e) with
             # per-output-channel scales; activations dynamically quantized

@@ -49,6 +49,7 @@ class LMConfig:
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    ffn_impl: str = "auto"  # auto | xla | fused (ops/ffn_kernel.py)
     quantization: Optional[str] = None  # "int8" -> w8a8 matmuls (see modules/quantize.py)
     ctrl_dims: Optional[Tuple[Tuple[str, int], ...]] = None
     cfg_dropout_prob: float = 0.2
@@ -124,10 +125,15 @@ class RMSNorm(nn.Module):
 
     eps: float = 1e-6
     param_dtype: Any = jnp.float32
+    # return the scale param instead of normalizing — feeds fused kernels
+    # (ops/ffn_kernel.py) that apply the norm in VMEM; tree stays identical
+    return_weight: bool = False
 
     @nn.compact
     def __call__(self, x):
         weight = self.param("weight", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
+        if self.return_weight:
+            return weight
         xf = x.astype(jnp.float32)
         var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
         y = xf * jax.lax.rsqrt(var + self.eps)
@@ -224,7 +230,12 @@ class MultiHeadRelativeAttention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """GEGLU feed-forward, 4x width (reference transformer.py:61-85)."""
+    """GEGLU feed-forward, 4x width (reference transformer.py:61-85).
+
+    With `norm_weight` given, runs the fused Pallas path instead: the whole
+    RMSNorm -> w_1 -> GEGLU -> w_2 -> +residual chain in one kernel
+    (ops/ffn_kernel.py), taking the PRE-norm x and returning x + FFN(norm(x)).
+    """
 
     dropout: float = 0.1
     lora_r: int = 0
@@ -233,8 +244,23 @@ class FeedForward(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic=True):
+    def __call__(self, x, deterministic=True, norm_weight=None, interpret=False):
         d_model = x.shape[-1]
+        if norm_weight is not None:
+            from ..ops.ffn_kernel import fused_geglu_ffn
+
+            w1 = LoRADense(
+                features=d_model * 4, dtype=self.dtype,
+                param_dtype=self.param_dtype, expose_kernel=True, name="w_1",
+            )(x)
+            w2 = LoRADense(
+                features=d_model, dtype=self.dtype,
+                param_dtype=self.param_dtype, expose_kernel=True,
+                in_features=d_model * 2, name="w_2",
+            )(x)
+            return fused_geglu_ffn(
+                x.astype(self.dtype), norm_weight, w1, w2, interpret=interpret
+            )
         h = LoRADense(
             features=d_model * 4, r=self.lora_r, dtype=self.dtype,
             param_dtype=self.param_dtype, quantize=self.quantize, name="w_1",
@@ -259,9 +285,24 @@ class TransformerLayer(nn.Module):
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    ffn_impl: str = "auto"  # auto | xla | fused (Pallas norm+GEGLU+residual)
     quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
+
+    def _use_fused_ffn(self, deterministic: bool) -> bool:
+        if self.ffn_impl != "fused" or self.is_initializing():
+            # "auto" resolves to XLA: the fused kernel measured NET NEGATIVE
+            # at serving shapes (15.0 vs 14.1 ms/forward, scratch/bench_forward)
+            # — streaming w1/w2 per row-block re-reads 19.6 MB of weights
+            # n_m_blocks times, which costs more than the eliminated hidden
+            # intermediates. Kept as an opt-in for small-m regimes.
+            return False
+        # the fused kernel has no dropout, LoRA, or int8 path
+        assert deterministic and self.lora_r == 0 and not self.quantize, (
+            "ffn_impl='fused' needs deterministic, lora_r=0, no int8"
+        )
+        return True
 
     @nn.compact
     def __call__(self, x, x_mask=None, position_bias=None, deterministic=True):
@@ -280,12 +321,23 @@ class TransformerLayer(nn.Module):
         )(y, y, y, mask=x_mask, position_bias=position_bias, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
 
-        y = RMSNorm(name="norm_3")(x)
-        y = FeedForward(
-            dropout=self.dropout, lora_r=self.lora_r, dtype=self.dtype,
-            param_dtype=self.param_dtype, quantize=self.quantize, name="feed_forward",
-        )(y, deterministic=deterministic)
-        x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
+        if self._use_fused_ffn(deterministic):
+            # one Pallas kernel: norm + GEGLU FFN + residual (ffn_impl="fused"
+            # outside TPU runs the interpreter — parity tests only)
+            nw = RMSNorm(name="norm_3", return_weight=True)(x)
+            x = FeedForward(
+                dropout=self.dropout, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="feed_forward",
+            )(x, deterministic=deterministic, norm_weight=nw,
+              interpret=jax.default_backend() != "tpu")
+        else:
+            y = RMSNorm(name="norm_3")(x)
+            y = FeedForward(
+                dropout=self.dropout, lora_r=self.lora_r, dtype=self.dtype,
+                param_dtype=self.param_dtype, quantize=self.quantize,
+                name="feed_forward",
+            )(y, deterministic=deterministic)
+            x = x + nn.Dropout(self.dropout)(y, deterministic=deterministic)
         return x, position_bias
 
 
@@ -300,6 +352,7 @@ class TransformerStack(nn.Module):
     attention_num_buckets: int = 32
     attention_max_distance: int = 128
     attention_impl: str = "auto"
+    ffn_impl: str = "auto"
     quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -317,6 +370,7 @@ class TransformerStack(nn.Module):
                 attention_num_buckets=self.attention_num_buckets,
                 attention_max_distance=self.attention_max_distance,
                 attention_impl=self.attention_impl,
+                ffn_impl=self.ffn_impl,
                 quantize=self.quantize,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
@@ -403,6 +457,7 @@ class VampNetLM(nn.Module):
             attention_num_buckets=cfg.attention_num_buckets,
             attention_max_distance=cfg.attention_max_distance,
             attention_impl=cfg.attention_impl,
+            ffn_impl=cfg.ffn_impl,
             quantize=cfg.quantization == "int8",
             name="transformer",
         )
