@@ -36,11 +36,24 @@ def build(cfg, b=B, t=T):
     params = jax.jit(lambda k: model.init(k, codes, cbs, method="forward_codes"))(
         jax.random.PRNGKey(0)
     )["params"]
+    hoist_bias = not os.environ.get("BENCH_BIAS_INSIDE")
 
     @functools.partial(jax.jit, static_argnames=("iters",))
     def loop(params, codes, cbs, iters):
+        # production shape: the sampler hoists the T5 bias out of its loop
+        # (generate.py); without this the "fixed" cost is ~2.2 ms of bias
+        # build inside layer 0, not embed/classifier
+        bias = None
+        if hoist_bias:
+            from vampnet_tpu.modules.transformer import position_bias_from_params
+
+            bias = position_bias_from_params(params, cfg, t)
+
         def body(_, codes):
-            logits = model.apply({"params": params}, codes, cbs, method="forward_codes")
+            logits = model.apply(
+                {"params": params}, codes, cbs, method="forward_codes",
+                position_bias=bias,
+            )
             bump = (jnp.sum(logits) * 1e-30).astype(jnp.int32)  # 0 at runtime
             return codes + bump
 

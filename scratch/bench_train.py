@@ -1,0 +1,93 @@
+"""Full-scale training-step timing on the real TPU.
+
+Measures the complete jitted train step (frozen-codec encode -> random mask
+-> LM fwd/bwd with dropout -> AdamW+Noam) at coarse-model scale, with the
+state chained through a fori_loop so the differential method cancels the
+tunnel RPC (see bench_int8.py).
+
+Run: python scratch/bench_train.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from vampnet_tpu.codec import LAC, CodecConfig
+from vampnet_tpu.modules import LMConfig, VampNetLM
+from vampnet_tpu.train.step import TrainState, make_optimizer, make_train_step
+
+ITERS_LO, ITERS_HI = 3, 23
+B = 8
+SECONDS = 10.0
+
+
+def main():
+    print("backend:", jax.default_backend())
+    codec_cfg = CodecConfig()
+    cfg = LMConfig.coarse()
+    codec = LAC(codec_cfg)
+    model = VampNetLM(cfg)
+
+    n_samples = int(SECONDS * codec_cfg.sample_rate)
+    n_samples = (n_samples // codec_cfg.hop_length) * codec_cfg.hop_length
+    audio = jax.random.normal(jax.random.PRNGKey(0), (B, n_samples, 1)) * 0.1
+    codec_params = jax.jit(lambda k: codec.init(k, audio[:1, : codec_cfg.hop_length * 4]))(
+        jax.random.PRNGKey(1)
+    )["params"]
+    cbs = jax.random.normal(
+        jax.random.PRNGKey(2), (cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim)
+    )
+    codes0 = jnp.zeros((1, cfg.n_codebooks, 16), jnp.int32)
+    params = jax.jit(lambda k: model.init(k, codes0, cbs, method="forward_codes"))(
+        jax.random.PRNGKey(3)
+    )["params"]
+    opt = make_optimizer(cfg.embedding_dim)
+    state = TrainState(params, jax.jit(opt.init)(params), jnp.zeros((), jnp.int32))
+    step = make_train_step(model, codec, opt)
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop(state, codec_params, cbs, audio, key, iters):
+        def body(i, carry):
+            state, key = carry
+            key, k = jax.random.split(key)
+            state, _ = step(state, codec_params, cbs, audio, k)
+            return state, key
+
+        state, _ = jax.lax.fori_loop(0, iters, body, (state, key))
+        return state.step
+
+    def wall(iters, n=3):
+        np.asarray(loop(state, codec_params, cbs, audio, jax.random.PRNGKey(9), iters))
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            np.asarray(
+                loop(state, codec_params, cbs, audio, jax.random.PRNGKey(9), iters)
+            )
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    lo, hi = wall(ITERS_LO), wall(ITERS_HI)
+    ms = (hi - lo) / (ITERS_HI - ITERS_LO) * 1e3
+    t_tokens = n_samples // codec_cfg.hop_length
+    tok = B * t_tokens
+    # fwd+bwd ~ 3x forward matmul FLOPs of the LM (params ~330M active/token)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tflop = 2 * n_params * tok * 3 / 1e12
+    print(f"train step (b={B}, {SECONDS:.0f}s audio, {tok} tokens): {ms:.1f} ms")
+    print(f"  {tok / (ms / 1e3):,.0f} tokens/s | ~{tflop / (ms / 1e3):.1f} TF/s "
+          f"({n_params/1e6:.0f}M params)")
+
+
+if __name__ == "__main__":
+    main()
