@@ -21,6 +21,7 @@ import functools
 
 import jax.numpy as jnp
 import numpy as np
+import optax
 
 from vampnet_tpu.codec import LAC, CodecConfig
 from vampnet_tpu.modules import LMConfig, VampNetLM
@@ -64,7 +65,8 @@ def main():
             return state, key
 
         state, _ = jax.lax.fori_loop(0, iters, body, (state, key))
-        return state.step
+        # observe EVERY param leaf or XLA dead-code-eliminates the step
+        return optax.global_norm(state.params)
 
     def wall(iters, n=3):
         np.asarray(loop(state, codec_params, cbs, audio, jax.random.PRNGKey(9), iters))
