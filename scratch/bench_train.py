@@ -68,14 +68,18 @@ def main():
         # observe EVERY param leaf or XLA dead-code-eliminates the step
         return optax.global_norm(state.params)
 
+    # BENCH_RBG=1: hardware-RNG keys for the in-step randomness (dropout
+    # masks dominate: ~700M threefry words/step on the VPU)
+    impl = "rbg" if os.environ.get("BENCH_RBG") else "threefry2x32"
+    key0 = jax.random.key(9, impl=impl)
+    print("prng impl:", impl)
+
     def wall(iters, n=3):
-        np.asarray(loop(state, codec_params, cbs, audio, jax.random.PRNGKey(9), iters))
+        np.asarray(loop(state, codec_params, cbs, audio, key0, iters))
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
-            np.asarray(
-                loop(state, codec_params, cbs, audio, jax.random.PRNGKey(9), iters)
-            )
+            np.asarray(loop(state, codec_params, cbs, audio, key0, iters))
             best = min(best, time.perf_counter() - t0)
         return best
 

@@ -172,6 +172,19 @@ def test_vamp_e2e_single_dispatch(interface):
     np.testing.assert_array_equal(out.samples, out2.samples)
 
 
+def test_vamp_e2e_int16_transfer_matches_fp32(interface):
+    """PCM16 host-link transfer (the default) must match the fp32 path to
+    16-bit resolution — same tokens, only the waveform quantized."""
+    sig = _sig(0.3)
+    kw = dict(batch_size=2, seed=5, _sampling_steps=2, upper_codebook_mask=2)
+    out16 = interface.vamp_e2e(sig, transfer_dtype="int16", **kw)
+    out32 = interface.vamp_e2e(sig, transfer_dtype="float32", **kw)
+    assert out32.samples.dtype == np.float32
+    np.testing.assert_allclose(
+        out16.samples, out32.samples, atol=1.5 / 32767.0, rtol=0
+    )
+
+
 def test_vamp_feedback_steps(interface):
     codes = interface.encode(_sig(0.2))
     mask = interface.build_mask(codes, periodic_prompt=5, seed=0)

@@ -757,6 +757,7 @@ class Interface:
         typical_min_tokens: int = 64,
         top_p: Optional[float] = None,
         sample_cutoff: float = 1.0,
+        transfer_dtype: str = "int16",
     ) -> AudioSignal:
         """The entire vamp as ONE device program: codec encode -> build_mask
         -> coarse MaskGIT -> c2f MaskGIT -> codec decode.
@@ -765,6 +766,11 @@ class Interface:
         round-trip per stage; on hosts far from the chip that dominates
         latency. This path dispatches once and transfers only the final
         waveform. Preprocessing (resample/loudness) stays host-side.
+
+        `transfer_dtype="int16"` (default) returns the waveform from the
+        device as 16-bit PCM — half the host-link bytes of fp32, and the
+        standard delivery format for audio anyway (the host converts back to
+        fp32). Pass "float32" for bit-exact codec output.
         """
         from .sampling.generate import generate as _generate
 
@@ -781,6 +787,7 @@ class Interface:
             periodic_prompt_width, float(_dropout), int(upper_codebook_mask),
             int(_sampling_steps), int(c2f_steps), bool(typical_filtering),
             float(typical_mass), int(typical_min_tokens), top_p is not None,
+            str(transfer_dtype),
             self.coarse.config, None if self.c2f is None else self.c2f.config,
         )
         if static not in self._gen_cache:
@@ -918,7 +925,13 @@ class Interface:
                 # ---- decode ----
                 z0 = jnp.where(zv == mask_token, 0, zv)
                 wav = codec.apply({"params": codec_params}, z0, method="decode_codes")
-                return wav[:, : t_tokens * self.codec_config.hop_length]
+                wav = wav[:, : t_tokens * self.codec_config.hop_length]
+                if transfer_dtype == "int16":
+                    # PCM16 on the host link: half the bytes of fp32
+                    wav = jnp.round(
+                        jnp.clip(wav, -1.0, 1.0) * 32767.0
+                    ).astype(jnp.int16)
+                return wav
 
             self._gen_cache[static] = jax.jit(fn)
 
@@ -933,8 +946,11 @@ class Interface:
             jnp.float32(top_p if top_p is not None else 0.0),
             jnp.float32(sample_cutoff),
         )
+        out = np.asarray(out)
+        if out.dtype == np.int16:
+            out = out.astype(np.float32) * (1.0 / 32767.0)
         return AudioSignal(
-            np.asarray(out).transpose(0, 2, 1), self.codec_config.sample_rate
+            out.transpose(0, 2, 1), self.codec_config.sample_rate
         )
 
     # ---------- utilities ----------

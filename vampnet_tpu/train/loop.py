@@ -102,6 +102,9 @@ def train(args: dict, seed: int = 0) -> TrainState:
     label_smoothing = float(args.get("CrossEntropyLoss.label_smoothing", 0.1))
     resume = bool(args.get("resume", False))
     tag = args.get("tag", "latest")
+    # training PRNG stream: rbg (TPU hardware RNG, 18.6% faster step) or
+    # threefry (jax default). Per-key deterministic either way.
+    prng_impl = str(args.get("prng", "rbg"))
 
     # ----- models -----
     codec_cfg, codec_params = load_codec(args["codec_ckpt"])
@@ -259,7 +262,14 @@ def train(args: dict, seed: int = 0) -> TrainState:
             )
             batch = next(it)
         audio = jax.device_put(jnp.asarray(batch), batch_sharding)
-        step_key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+        # rbg = the TPU hardware RNG: measured 18.6% faster train step than
+        # threefry (209 vs 257 ms at coarse scale, scratch/bench_train.py) —
+        # the in-step dropout masks are ~700M PRNG words on the VPU. Still
+        # deterministic per key; stream differs from threefry (training only,
+        # the sampler keeps threefry semantics). Opt out with prng: threefry.
+        step_key = jax.random.key(
+            int(rng.integers(0, 2**31 - 1)), impl=prng_impl
+        )
         state, metrics = train_step(state, codec_params, codebooks, audio, step_key)
         tracker.step = step_i + 1
         tracker.log("train", {k: v for k, v in metrics.items()})
