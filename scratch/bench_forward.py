@@ -92,6 +92,9 @@ def main():
         # c2f at its vamp_e2e serving shape: 2x10s -> 8 rows of 3 s chunks
         ("c2f 16L bf16", c2f, 8, 260),
         ("c2f 1L bf16", dataclasses.replace(c2f, n_layers=1), 8, 260),
+        # engine batch-8 shapes (8 concurrent 10 s requests)
+        ("20L bf16 b8", base, 8, 864),
+        ("c2f 16L b32", c2f, 32, 260),
     ]
     only = os.environ.get("BENCH_ONLY")
     if only:
