@@ -88,7 +88,9 @@ def main():
         ("1L bf16", dataclasses.replace(base, n_layers=1), B, T),
         ("20L int8", dataclasses.replace(base, quantization="int8"), B, T),
         ("20L xla-attn", dataclasses.replace(base, attention_impl="xla"), B, T),
-        ("20L xla-ffn", dataclasses.replace(base, ffn_impl="xla"), B, T),
+        # the opt-in fused GEGLU FFN kernel (auto resolves to xla since the
+        # net-negative measurement — this variant re-validates it)
+        ("20L fused-ffn", dataclasses.replace(base, ffn_impl="fused"), B, T),
         # c2f at its vamp_e2e serving shape: 2x10s -> 8 rows of 3 s chunks
         ("c2f 16L bf16", c2f, 8, 260),
         ("c2f 1L bf16", dataclasses.replace(c2f, n_layers=1), 8, 260),

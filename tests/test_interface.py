@@ -173,15 +173,16 @@ def test_vamp_e2e_single_dispatch(interface):
 
 
 def test_vamp_e2e_int16_transfer_matches_fp32(interface):
-    """PCM16 host-link transfer (the default) must match the fp32 path to
-    16-bit resolution — same tokens, only the waveform quantized."""
+    """PCM16 host-link transfer must match the fp32 path to 16-bit
+    resolution wherever |sample| <= 1 (PCM clips above full scale)."""
     sig = _sig(0.3)
     kw = dict(batch_size=2, seed=5, _sampling_steps=2, upper_codebook_mask=2)
     out16 = interface.vamp_e2e(sig, transfer_dtype="int16", **kw)
     out32 = interface.vamp_e2e(sig, transfer_dtype="float32", **kw)
     assert out32.samples.dtype == np.float32
     np.testing.assert_allclose(
-        out16.samples, out32.samples, atol=1.5 / 32767.0, rtol=0
+        out16.samples, np.clip(out32.samples, -1.0, 1.0),
+        atol=1.5 / 32767.0, rtol=0,
     )
 
 

@@ -395,8 +395,11 @@ def test_engine_dispatch_error_propagates(interface):
     mask = np.asarray(interface.build_mask(jnp.asarray(codes), seed=0))
     bad = VampRequest(codes=codes[:, :1, :], mask=mask, sampling_steps=2)
     try:
-        with pytest.raises(Exception):
-            eng.vamp(bad, timeout=240)
+        # Future.exception() distinguishes "failed with an error" (returns
+        # the exception) from "never resolved" (raises TimeoutError) — a
+        # bare pytest.raises would accept the hang too
+        exc = eng.submit(bad).exception(timeout=240)
+        assert exc is not None
         # the engine must still serve well-formed requests afterwards
         out = eng.vamp(
             VampRequest(codes=codes, mask=mask, seed=1, sampling_steps=2),

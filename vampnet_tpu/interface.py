@@ -757,7 +757,7 @@ class Interface:
         typical_min_tokens: int = 64,
         top_p: Optional[float] = None,
         sample_cutoff: float = 1.0,
-        transfer_dtype: str = "int16",
+        transfer_dtype: str = "float32",
     ) -> AudioSignal:
         """The entire vamp as ONE device program: codec encode -> build_mask
         -> coarse MaskGIT -> c2f MaskGIT -> codec decode.
@@ -767,10 +767,10 @@ class Interface:
         latency. This path dispatches once and transfers only the final
         waveform. Preprocessing (resample/loudness) stays host-side.
 
-        `transfer_dtype="int16"` (default) returns the waveform from the
-        device as 16-bit PCM — half the host-link bytes of fp32, and the
-        standard delivery format for audio anyway (the host converts back to
-        fp32). Pass "float32" for bit-exact codec output.
+        `transfer_dtype="int16"` returns the waveform from the device as
+        16-bit PCM — half the host-link bytes, worthwhile when the host is
+        far from the chip. NOTE it also hard-clips to [-1, 1] (PCM has no
+        headroom), so the bit-exact fp32 path stays the default.
         """
         from .sampling.generate import generate as _generate
 

@@ -298,10 +298,12 @@ class TransformerLayer(nn.Module):
             # n_m_blocks times, which costs more than the eliminated hidden
             # intermediates. Kept as an opt-in for small-m regimes.
             return False
-        # the fused kernel has no dropout, LoRA, or int8 path
-        assert deterministic and self.lora_r == 0 and not self.quantize, (
-            "ffn_impl='fused' needs deterministic, lora_r=0, no int8"
-        )
+        # the fused kernel has no dropout, LoRA, or int8 path; a bare assert
+        # would vanish under python -O and silently drop LoRA deltas
+        if not (deterministic and self.lora_r == 0 and not self.quantize):
+            raise ValueError(
+                "ffn_impl='fused' needs deterministic=True, lora_r=0, no int8"
+            )
         return True
 
     @nn.compact

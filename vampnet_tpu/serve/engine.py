@@ -129,9 +129,28 @@ class VampEngine:
         return self.submit(req).result(timeout)
 
     def close(self):
+        # order matters: stop the dispatcher FIRST and join it, so nothing
+        # can enter _inflight after the collector's shutdown sentinel —
+        # otherwise a batch dispatched during close() would hang its futures
         self._stop.set()
-        self._thread.join(timeout=5)
-        self._collector.join(timeout=5)
+        self._thread.join(timeout=30)
+        try:  # sentinel: drain then exit (timeout in case the collector is
+            # wedged on a hung device call — the daemon thread dies with us)
+            self._inflight.put(None, timeout=30)
+        except queue.Full:  # pragma: no cover - wedged collector
+            pass
+        self._collector.join(timeout=30)
+        # defensive: fail any futures a wedged collector left behind
+        while True:
+            try:
+                item = self._inflight.get_nowait()
+            except queue.Empty:
+                break
+            if item is None:
+                continue
+            for _req, fut in item[1]:
+                if not fut.done():
+                    fut.set_exception(RuntimeError("engine closed"))
 
     # ---------------- scheduler ----------------
 
@@ -198,11 +217,11 @@ class VampEngine:
         Runs concurrently with the dispatcher: np.asarray here waits on the
         device + transfer while the dispatcher is already building and
         dispatching the next batch."""
-        while not (self._stop.is_set() and self._inflight.empty()):
-            try:
-                out, items, lens = self._inflight.get(timeout=0.1)
-            except queue.Empty:
-                continue
+        while True:
+            item = self._inflight.get()  # None = shutdown sentinel (close())
+            if item is None:
+                return
+            out, items, lens = item
             try:
                 out_np = np.asarray(out)
             except Exception as e:  # pragma: no cover - device-side failure

@@ -105,6 +105,8 @@ def train(args: dict, seed: int = 0) -> TrainState:
     # training PRNG stream: rbg (TPU hardware RNG, 18.6% faster step) or
     # threefry (jax default). Per-key deterministic either way.
     prng_impl = str(args.get("prng", "rbg"))
+    # jax's registered name for threefry is "threefry2x32"; accept the alias
+    prng_impl = {"threefry": "threefry2x32"}.get(prng_impl, prng_impl)
 
     # ----- models -----
     codec_cfg, codec_params = load_codec(args["codec_ckpt"])
