@@ -28,14 +28,14 @@ from vampnet_tpu.modules import LMConfig, VampNetLM
 from vampnet_tpu.train.step import TrainState, make_optimizer, make_train_step
 
 ITERS_LO, ITERS_HI = 3, 23
-B = 8
+B = int(os.environ.get("BENCH_B", 8))
 SECONDS = 10.0
 
 
 def main():
     print("backend:", jax.default_backend())
     codec_cfg = CodecConfig()
-    cfg = LMConfig.coarse()
+    cfg = LMConfig.coarse(remat=bool(os.environ.get("BENCH_REMAT")))
     codec = LAC(codec_cfg)
     model = VampNetLM(cfg)
 
@@ -54,9 +54,10 @@ def main():
     )["params"]
     opt = make_optimizer(cfg.embedding_dim)
     state = TrainState(params, jax.jit(opt.init)(params), jnp.zeros((), jnp.int32))
-    step = make_train_step(model, codec, opt)
+    enc_mb = int(os.environ.get("BENCH_ENC_MB", 0)) or None
+    step = make_train_step(model, codec, opt, encode_microbatch=enc_mb)
 
-    @functools.partial(jax.jit, static_argnames=("iters",))
+    @functools.partial(jax.jit, static_argnames=("iters",), donate_argnums=(0,))
     def loop(state, codec_params, cbs, audio, key, iters):
         def body(i, carry):
             state, key = carry
@@ -66,7 +67,7 @@ def main():
 
         state, _ = jax.lax.fori_loop(0, iters, body, (state, key))
         # observe EVERY param leaf or XLA dead-code-eliminates the step
-        return optax.global_norm(state.params)
+        return state, optax.global_norm(state.params)
 
     # BENCH_RBG=1: hardware-RNG keys for the in-step randomness (dropout
     # masks dominate: ~700M threefry words/step on the VPU)
@@ -74,12 +75,20 @@ def main():
     key0 = jax.random.key(9, impl=impl)
     print("prng impl:", impl)
 
+    # the state is DONATED (as in the real train loop) — thread it through
+    holder = {"state": state}
+
+    def run(iters):
+        st, norm = loop(holder["state"], codec_params, cbs, audio, key0, iters)
+        holder["state"] = st
+        np.asarray(norm)
+
     def wall(iters, n=3):
-        np.asarray(loop(state, codec_params, cbs, audio, key0, iters))
+        run(iters)
         best = float("inf")
         for _ in range(n):
             t0 = time.perf_counter()
-            np.asarray(loop(state, codec_params, cbs, audio, key0, iters))
+            run(iters)
             best = min(best, time.perf_counter() - t0)
         return best
 

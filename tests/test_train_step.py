@@ -130,3 +130,51 @@ def test_sharded_train_step_matches_single_device():
         ok += close.sum()
         total += close.size
     assert ok / total > 0.99, f"only {ok/total:.4%} of params match"
+
+
+def test_remat_matches_unrematted_gradients():
+    """remat=True (gradient checkpointing) must be numerically inert: same
+    param tree, same logits, same gradients — only the memory/compute
+    schedule changes."""
+    import dataclasses
+
+    codec, codec_params, lm, lm_params, cbs, audio = _setup()
+    lm_remat = VampNetLM(dataclasses.replace(LM_CFG, remat=True))
+    codes = jnp.array(
+        np.random.default_rng(0).integers(0, 64, (2, 4, 16)), jnp.int32
+    )
+
+    def loss(model, params):
+        logits = model.apply(
+            {"params": params}, codes, cbs, method="forward_codes"
+        )
+        return jnp.mean(jax.nn.log_softmax(logits) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(lm, p))(lm_params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(lm_remat, p))(lm_params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for (k0, a), (k1, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g0), key=lambda kv: str(kv[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(g1), key=lambda kv: str(kv[0])),
+    ):
+        assert str(k0) == str(k1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6)
+
+
+def test_encode_microbatch_matches_full_encode():
+    """lax.map'd codec encode (memory lever for big batches) must be
+    numerically inert: identical metrics and updated params."""
+    codec, codec_params, lm, lm_params, cbs, audio = _setup()
+    opt = make_optimizer(LM_CFG.embedding_dim)
+    state0 = TrainState(lm_params, opt.init(lm_params), jnp.zeros((), jnp.int32))
+    key = jax.random.PRNGKey(5)
+
+    step_full = jax.jit(make_train_step(lm, codec, opt))
+    step_mb = jax.jit(make_train_step(lm, codec, opt, encode_microbatch=1))
+    s1, m1 = step_full(state0, codec_params, cbs, audio, key)
+    s2, m2 = step_mb(state0, codec_params, cbs, audio, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

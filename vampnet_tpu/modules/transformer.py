@@ -50,6 +50,13 @@ class LMConfig:
     attention_max_distance: int = 128
     attention_impl: str = "auto"
     ffn_impl: str = "auto"  # auto | xla | fused (ops/ffn_kernel.py)
+    # gradient checkpointing: recompute each layer in the backward pass
+    # instead of saving its activations — trades ~40% extra step time for
+    # O(1) per-layer activation memory, for batches/sequences past what a
+    # 16 GB v5e holds (with donated train state, b=16x10s still fits
+    # un-rematted at coarse scale; see docs/PERF.md "Training").
+    # Inference is unaffected (no saved residuals).
+    remat: bool = False
     quantization: Optional[str] = None  # "int8" -> w8a8 matmuls (see modules/quantize.py)
     ctrl_dims: Optional[Tuple[Tuple[str, int], ...]] = None
     cfg_dropout_prob: float = 0.2
@@ -355,6 +362,7 @@ class TransformerStack(nn.Module):
     attention_max_distance: int = 128
     attention_impl: str = "auto"
     ffn_impl: str = "auto"
+    remat: bool = False
     quantize: bool = False
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
@@ -363,8 +371,15 @@ class TransformerStack(nn.Module):
     def __call__(self, x, x_mask=None, deterministic=True, return_activations=False,
                  position_bias=None):
         activations = []
+        layer_cls = TransformerLayer
+        if self.remat:
+            # checkpoint each layer: backward recomputes the layer forward
+            # instead of holding its activations (jax.checkpoint semantics).
+            # deterministic must be static (argnum 4; the module is 0) —
+            # Dropout branches on it in Python
+            layer_cls = nn.remat(TransformerLayer, static_argnums=(4,))
         for i in range(self.n_layers):
-            x, position_bias = TransformerLayer(
+            x, position_bias = layer_cls(
                 n_heads=self.n_heads,
                 has_relative_attention_bias=(i == 0),
                 dropout=self.dropout,
@@ -377,7 +392,7 @@ class TransformerStack(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 name=f"layers_{i}",
-            )(x, x_mask=x_mask, position_bias=position_bias, deterministic=deterministic)
+            )(x, x_mask, position_bias, deterministic)
             if return_activations:
                 activations.append(x)
         out = RMSNorm(name="norm")(x)
@@ -460,6 +475,7 @@ class VampNetLM(nn.Module):
             attention_max_distance=cfg.attention_max_distance,
             attention_impl=cfg.attention_impl,
             ffn_impl=cfg.ffn_impl,
+            remat=cfg.remat,
             quantize=cfg.quantization == "int8",
             name="transformer",
         )

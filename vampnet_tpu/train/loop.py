@@ -63,6 +63,7 @@ def build_lm_config(args, fine_tune: bool = False, controller=None) -> LMConfig:
         vocab_size=g("vocab_size", 1024),
         dropout=g("dropout", 0.1),
         lora_r=int(args.get("lora_r", 8)) if fine_tune else 0,
+        remat=bool(g("remat", False)),  # gradient checkpointing (big batches)
         ctrl_dims=ctrl_dims,
     )
 
@@ -189,9 +190,21 @@ def train(args: dict, seed: int = 0) -> TrainState:
     state_sh = TrainState(sh(param_specs), sh(opt_specs), rep)
     train_step = jax.jit(
         make_train_step(lm, codec, optimizer, label_smoothing=label_smoothing,
-                        controller=controller),
+                        controller=controller,
+                        # bound codec-encode temps (the big-batch OOM source;
+                        # see make_train_step). dp>1 already divides the
+                        # per-chip batch, and lax.map over a dp-sharded axis
+                        # would serialize devices — single-mesh only.
+                        encode_microbatch=(
+                            int(args["encode_microbatch"])
+                            if args.get("encode_microbatch") and dp == 1
+                            else None
+                        )),
         in_shardings=(state_sh, rep, rep, batch_sharding, rep),
         out_shardings=(state_sh, rep),
+        # donate the state: params + Adam moments (~4 GB fp32 at coarse
+        # scale) would otherwise be live twice across the update
+        donate_argnums=(0,),
     )
 
     # eval step: loss only, no update

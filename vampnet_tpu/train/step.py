@@ -116,10 +116,18 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     label_smoothing: float = 0.1,
     controller=None,
+    encode_microbatch: Optional[int] = None,
 ) -> Callable:
     """Returns train_step(state, codec_params, codebooks, audio, key)
     -> (state, metrics). Encode-on-the-fly with the frozen codec
     (reference train.py:245-248), then masked-token LM training.
+
+    `encode_microbatch=k` runs the frozen-codec encode in serial sub-batches
+    of k rows (lax.map). The encoder's first conv block holds three
+    fp32 (b, n_samples, 64) activations — 6.7 GB EACH at b=32 x 10 s (the
+    64-channel dim pads to 128 lanes) — which is what OOMs large batches,
+    not the LM. Encode is <3% of step compute, so serializing it costs
+    little; it changes no numerics (same codec, per-row deterministic).
 
     With a `Sketch2SoundController`, control features (RMS/chroma) are
     extracted IN-GRAPH from the same audio batch and fed through the
@@ -131,9 +139,19 @@ def make_train_step(
 
     def train_step(state: TrainState, codec_params, codebooks, audio, key):
         k_r, k_mask, k_drop, k_ctrl = jax.random.split(key, 4)
-        codes = codec_model.apply(
-            {"params": codec_params}, audio, method="encode"
-        )["codes"]
+
+        def encode(a):
+            return codec_model.apply(
+                {"params": codec_params}, a, method="encode"
+            )["codes"]
+
+        mb = encode_microbatch
+        if mb and 0 < mb < audio.shape[0] and audio.shape[0] % mb == 0:
+            grouped = audio.reshape(audio.shape[0] // mb, mb, *audio.shape[1:])
+            codes = jax.lax.map(encode, grouped)
+            codes = codes.reshape(audio.shape[0], *codes.shape[2:])
+        else:
+            codes = encode(audio)
         z = jax.lax.stop_gradient(codes[:, :n_cb, :])
         b = z.shape[0]
 
