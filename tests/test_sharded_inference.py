@@ -88,3 +88,98 @@ def test_engine_data_parallel_serving():
         assert (o != iface.coarse.mask_token).all()
     assert eng.stats["requests"] == 3
     eng.close()
+
+
+# ---------------- pipeline-parallel placement (SURVEY §2.3 PP) ----------------
+
+C2F_CFG = LMConfig(
+    n_heads=4, n_layers=2, n_codebooks=4, n_conditioning_codebooks=2,
+    latent_dim=4, embedding_dim=64, vocab_size=32, dropout=0.0,
+)
+
+
+def _iface_two_stage():
+    codec = LAC(CODEC_CFG)
+    audio = jnp.zeros((1, CODEC_CFG.hop_length * 4, 1))
+    codec_params = codec.init(jax.random.PRNGKey(0), audio)["params"]
+
+    def init_lm(cfg, seed):
+        model = VampNetLM(cfg)
+        codes = jnp.zeros((1, cfg.n_codebooks, 8), jnp.int32)
+        cbs = jnp.zeros((cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim))
+        return model.init(
+            jax.random.PRNGKey(seed), codes, cbs, method="forward_codes"
+        )["params"]
+
+    return Interface.from_modules(
+        codec_cfg=CODEC_CFG, codec_params=codec_params,
+        coarse_cfg=COARSE_CFG, coarse_params=init_lm(COARSE_CFG, 1),
+        c2f_cfg=C2F_CFG, c2f_params=init_lm(C2F_CFG, 2),
+        coarse_chunk_size_s=0.2, coarse2fine_chunk_size_s=0.1,
+    )
+
+
+def _two_stage(iface, z, mask):
+    zc = iface.coarse_vamp(z, mask, seed=7, _sampling_steps=3)
+    zf = iface.coarse_to_fine(zc, mask=mask, seed=11, _sampling_steps=2)
+    return np.asarray(zf)
+
+
+def test_pipeline_placement_slices_and_parity():
+    iface = _iface_two_stage()
+    z = iface.encode(_sig())
+    z = jnp.concatenate([z, jnp.zeros_like(z)], axis=1)[:, :4]  # 4 cbs for c2f
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    ref = _two_stage(iface, z, mask)
+    ref_audio = np.asarray(iface.decode(ref).samples)
+
+    iface.shard_pipeline(n_coarse_devices=4)
+    devs = jax.devices()
+    coarse_set = jax.tree_util.tree_leaves(iface.coarse.params)[0].sharding.device_set
+    c2f_set = jax.tree_util.tree_leaves(iface.c2f.params)[0].sharding.device_set
+    assert coarse_set == set(devs[:4]), "coarse must live on slice A"
+    assert c2f_set == set(devs[4:]), "c2f must live on slice B"
+    assert coarse_set.isdisjoint(c2f_set)
+
+    out = _two_stage(iface, z, mask)
+    agree = (out == ref).mean()
+    assert agree > 0.98, f"only {agree:.3f} of tokens agree under pipeline"
+    out_audio = np.asarray(iface.decode(out).samples)
+    np.testing.assert_allclose(out_audio, ref_audio, atol=1e-4)
+
+
+def test_pipeline_default_split_and_e2e_guard():
+    iface = _iface_two_stage()
+    iface.shard_pipeline()  # default ~3:1 split of the 8 virtual devices
+    n_a = len(jax.tree_util.tree_leaves(iface.coarse.params)[0].sharding.device_set)
+    n_b = len(jax.tree_util.tree_leaves(iface.c2f.params)[0].sharding.device_set)
+    assert n_a + n_b == 8 and n_a == 6 and n_b == 2
+    with pytest.raises(AssertionError, match="vamp_e2e"):
+        iface.vamp_e2e(_sig(), batch_size=1)
+
+
+def test_engine_over_pipeline_matches_unplaced():
+    from vampnet_tpu.serve import VampEngine, VampRequest
+
+    iface = _iface_two_stage()
+    z = np.asarray(iface.encode(_sig()))
+    z = np.concatenate([z, np.zeros_like(z)], axis=1)[:, :4]
+    mask = np.asarray(iface.build_mask(jnp.asarray(z), seed=0))
+
+    def run_engine():
+        eng = VampEngine(iface, max_wait_ms=200.0, max_batch=4)
+        futs = [
+            eng.submit(VampRequest(codes=z, mask=mask, seed=100 + i,
+                                   sampling_steps=2))
+            for i in range(3)
+        ]
+        outs = [f.result(240) for f in futs]
+        eng.close()
+        return outs
+
+    ref = run_engine()
+    iface.shard_pipeline(n_coarse_devices=4)
+    outs = run_engine()
+    for a, b in zip(ref, outs):
+        agree = (a == b).mean()
+        assert agree > 0.98, f"engine-over-pipeline diverged: {agree:.3f}"

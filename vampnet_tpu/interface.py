@@ -63,6 +63,11 @@ class _LoadedLM:
             )
         self.params = params
         self.chunk_size_s = chunk_size_s
+        # set by Interface.shard_pipeline: the mesh slice this stage runs on
+        # and a stage-local codebook-table copy (arrays in one jitted program
+        # must live on one device set)
+        self.mesh = None
+        self.codebooks = None
 
     @property
     def n_codebooks(self) -> int:
@@ -129,6 +134,8 @@ class Interface:
 
     def _finish_setup(self):
         self._gen_cache: Dict[Any, Any] = {}
+        self._pipeline = False  # set by shard_pipeline
+        self._codec_params_decode = None  # codec copy on the c2f slice
         tables = self.codec_model.apply(
             {"params": self.codec_params}, method="codebook_tables"
         )
@@ -242,6 +249,13 @@ class Interface:
             self.c2f_path = Path(c2f_ckpt)
             if not same_arch:
                 self._gen_cache.clear()
+        if self._pipeline and (
+            self.coarse.mesh is None or self.c2f is None or self.c2f.mesh is None
+        ):
+            # a swapped model arrived unplaced: drop pipeline mode rather than
+            # run one stage off-slice; caller re-invokes shard_pipeline
+            self._pipeline = False
+            self._codec_params_decode = None
 
     # ---------- time/token conversion ----------
 
@@ -301,8 +315,92 @@ class Interface:
         rep = NamedSharding(mesh, P())
         self.codec_params = jax.device_put(self.codec_params, rep)
         self._codebooks = jax.device_put(self._codebooks, rep)
+        self._pipeline = False
+        self.coarse.mesh = self.coarse.codebooks = None
+        if self.c2f is not None:
+            self.c2f.mesh = self.c2f.codebooks = None
         self._gen_cache.clear()
         return self
+
+    def shard_pipeline(self, n_coarse_devices: Optional[int] = None,
+                       tp: int = 1, devices=None):
+        """Pipeline-parallel placement: coarse on one device slice, c2f (and
+        the decode codec) on the complementary slice (SURVEY.md §2.3 PP row —
+        the reference has no PP; its coarse+c2f are separate models that a
+        mesh can pipeline per batch, reference interface.py:522-551).
+
+        Why this beats replicating both models everywhere: the two stages are
+        separate programs with a tiny boundary (int32 codes, ~0.4 MB/batch
+        over ICI). With JAX async dispatch, batch N's c2f runs on slice B
+        while batch N+1's coarse runs on slice A — a 2-stage pipeline that
+        serves ~stage-sum throughput at ~max-stage latency. Pair with
+        serve.VampEngine(pipeline_depth>=2), which dispatches batches without
+        waiting for results.
+
+        Within each slice, params are tp-sharded over a ("dp","tp") sub-mesh;
+        batch rows shard over the slice's dp axis when divisible (the engine
+        pads batches up). Default split is 3:1 coarse:c2f, matching the
+        measured stage costs (docs/PERF.md: coarse ~240 ms vs c2f ~90 ms).
+        """
+        assert self.c2f is not None, "pipeline placement needs both stages"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel import lm_param_specs, make_mesh
+
+        devices = list(jax.devices()) if devices is None else list(devices)
+        n = len(devices)
+        assert n >= 2, f"pipeline placement needs >=2 devices, got {n}"
+        if n_coarse_devices is None:
+            n_coarse_devices = max(tp, min(n - tp, round(n * 0.75) // tp * tp))
+        assert 0 < n_coarse_devices < n, (
+            f"coarse slice {n_coarse_devices} must leave c2f >=1 of {n} devices"
+        )
+        mesh_a = make_mesh(devices=devices[:n_coarse_devices], tp=tp)
+        mesh_b = make_mesh(devices=devices[n_coarse_devices:], tp=tp)
+
+        def place(lm: _LoadedLM, mesh):
+            specs = lm_param_specs(lm.params)
+            sh = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
+            lm.params = jax.device_put(lm.params, sh)
+            lm.mesh = mesh
+            lm.codebooks = jax.device_put(
+                self._codebooks[: lm.n_codebooks], NamedSharding(mesh, P())
+            )
+
+        place(self.coarse, mesh_a)
+        place(self.c2f, mesh_b)
+        # encode feeds coarse (slice A); decode consumes c2f (slice B)
+        self.codec_params = jax.device_put(
+            self.codec_params, NamedSharding(mesh_a, P())
+        )
+        self._codec_params_decode = jax.device_put(
+            self.codec_params, NamedSharding(mesh_b, P())
+        )
+        self._mesh = mesh_a  # engine dp rounding keys off the coarse slice
+        self._pipeline = True
+        self._gen_cache.clear()
+        return self
+
+    def _stage_put(self, lm: _LoadedLM, *arrays):
+        """Move stage inputs onto the stage's mesh slice (pipeline mode only).
+        Batch rows shard over the slice's dp axis when divisible, else the
+        arrays replicate."""
+        if getattr(lm, "mesh", None) is None:
+            return arrays if len(arrays) > 1 else arrays[0]
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = lm.mesh
+        dp = mesh.shape.get("dp", 1)
+
+        def put(x):
+            if x is None:
+                return None
+            x = jnp.asarray(x)
+            spec = P("dp") if dp > 1 and x.ndim >= 1 and x.shape[0] % dp == 0 else P()
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        out = tuple(put(a) for a in arrays)
+        return out if len(out) > 1 else out[0]
 
     # ---------- encode / decode ----------
 
@@ -332,7 +430,12 @@ class Interface:
     def decode(self, z) -> AudioSignal:
         """codes -> AudioSignal (reference interface.py:203, transformer.py:661)."""
         z = jnp.asarray(z)
-        audio = self._decode_jit(self.codec_params, z)
+        codec_params = self.codec_params
+        if self._pipeline:
+            # decode belongs to the c2f slice (its input is the c2f output)
+            z = self._stage_put(self.c2f, z)
+            codec_params = self._codec_params_decode
+        audio = self._decode_jit(codec_params, z)
         return AudioSignal(
             np.asarray(audio).transpose(0, 2, 1), self.codec_config.sample_rate
         )
@@ -499,7 +602,11 @@ class Interface:
             cfg_guidance=cfg_guidance,
             sampler_impl=sampler_impl,
         )
-        codebooks = self._codebooks[: lm.n_codebooks]
+        # pipeline mode keeps a stage-local codebook copy on the stage's mesh
+        codebooks = (
+            lm.codebooks if lm.codebooks is not None
+            else self._codebooks[: lm.n_codebooks]
+        )
 
         # per-request (b,) arrays must tile across chunk-expanded batch rows
         b_total = start_tokens.shape[0]
@@ -594,6 +701,8 @@ class Interface:
         (reference interface.py:382-452 runs chunks serially on the host)."""
         z = jnp.asarray(z)
         mask = jnp.asarray(mask)
+        if self._pipeline:
+            z, mask = self._stage_put(self.coarse, z, mask)
         n_coarse = self.coarse.n_codebooks
         b, _, t = z.shape
         chunk_len = self.s2t(self.coarse.chunk_size_s)
@@ -626,6 +735,11 @@ class Interface:
         interface.py:327-380)."""
         assert self.c2f is not None, "No coarse2fine model loaded"
         z = jnp.asarray(z)
+        if self._pipeline:
+            # stage boundary: pull the coarse output (int32 codes, ~0.4 MB per
+            # 10 s row) onto the c2f slice over ICI; slice A is immediately
+            # free for the next batch's coarse stage
+            z, mask = self._stage_put(self.c2f, z, mask)
         b, n_cb_in, length = z.shape
         n_cb = self.c2f.n_codebooks
         ncc = self.c2f.n_conditioning_codebooks
@@ -774,6 +888,11 @@ class Interface:
         """
         from .sampling.generate import generate as _generate
 
+        assert not self._pipeline, (
+            "vamp_e2e is ONE device program and cannot span the two pipeline "
+            "slices; with shard_pipeline use the staged path "
+            "(encode/build_mask/vamp/decode) or serve.VampEngine"
+        )
         sig = self._preprocess(sig)
         audio = jnp.asarray(sig.samples.transpose(0, 2, 1))
         t_tokens = audio.shape[1] // self.codec_config.hop_length
