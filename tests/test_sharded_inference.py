@@ -183,3 +183,27 @@ def test_engine_over_pipeline_matches_unplaced():
     for a, b in zip(ref, outs):
         agree = (a == b).mean()
         assert agree > 0.98, f"engine-over-pipeline diverged: {agree:.3f}"
+
+
+def test_vamp_full_path_under_pipeline():
+    """vamp() (batch expand + feedback + c2f + mask concat) must run when the
+    two stages live on disjoint slices — its eager roll/concat ops touch
+    arrays from both stages."""
+    iface = _iface_two_stage()
+    z = iface.encode(_sig())
+    z = jnp.concatenate([z, jnp.zeros_like(z)], axis=1)[:, :4]
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    ref, ref_mask = iface.vamp(
+        z, mask, batch_size=2, seed=9, _sampling_steps=2, return_mask=True
+    )
+    ref = np.asarray(ref)
+
+    iface.shard_pipeline(n_coarse_devices=4)
+    out, out_mask = iface.vamp(
+        z, mask, batch_size=2, seed=9, _sampling_steps=2, return_mask=True
+    )
+    out = np.asarray(out)
+    assert out.shape == ref.shape
+    agree = (out == ref).mean()
+    assert agree > 0.98, f"vamp under pipeline diverged: {agree:.3f}"
+    np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ref_mask))

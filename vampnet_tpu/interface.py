@@ -813,6 +813,10 @@ class Interface:
 
             self._gen_cache[ekey] = _expand
         z, mask = self._gen_cache[ekey](z, mask)
+        if self._pipeline:
+            # anchor the coarse-stage eager ops (feedback roll/concat below)
+            # on slice A; coarse_to_fine moves its inputs to slice B itself
+            z, mask = self._stage_put(self.coarse, z, mask)
 
         rng = np.random.default_rng(seed)  # host-side sub-seed derivation:
         # no per-stage device round-trips (remote dispatch is expensive)
@@ -840,6 +844,9 @@ class Interface:
                 seed=int(rng.integers(0, 2**31 - 1)),
                 **c2f_kwargs,
             )
+            if self._pipeline:
+                # fine_zv_mask lives on slice B; colocate before the concat
+                mask_z = self._stage_put(self.c2f, mask_z)
             mask_z = jnp.concatenate(
                 [mask_z[:, : self.coarse.n_codebooks, :],
                  fine_zv_mask[:, self.coarse.n_codebooks:, :]],
