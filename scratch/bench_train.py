@@ -35,7 +35,10 @@ SECONDS = 10.0
 def main():
     print("backend:", jax.default_backend())
     codec_cfg = CodecConfig()
-    cfg = LMConfig.coarse(remat=bool(os.environ.get("BENCH_REMAT")))
+    cfg = LMConfig.coarse(
+        remat=bool(os.environ.get("BENCH_REMAT")),
+        attention_impl=os.environ.get("BENCH_ATTN", "auto"),
+    )
     codec = LAC(codec_cfg)
     model = VampNetLM(cfg)
 

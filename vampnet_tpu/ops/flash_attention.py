@@ -176,6 +176,99 @@ def _attn_kernel_bwd(
     ).astype(dk_ref.dtype)
 
 
+def _attn_kernel_bwd_dkdv(
+    q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
+    dk_ref, dv_ref, *, scale: float,
+):
+    """dk/dv half of the split backward (shared-bias path). Grid
+    (bh, q_blocks): dk/dv accumulate across q_blocks in the revisited
+    output block, exactly like the combined kernel."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bias = b_ref[0]
+    lse = lse_ref[0, 0, :][:, None]
+    do = do_ref[0].astype(jnp.float32)
+    delta = delta_ref[0, 0, :][:, None]
+
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    p = jnp.exp(s - lse)
+    dv_ref[0, :, :] += jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dk_ref[0, :, :] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
+def _attn_kernel_bwd_dq_dbias(
+    q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
+    dq_ref, dbias_ref, *, scale: float, block_q: int,
+):
+    """dq/dbias half of the split backward (shared-bias path). Grid
+    (h, batch, q_blocks): the (1, t, t) dbias output block for head i0 is
+    revisited across ALL inner (batch, q_block) steps, so the batch
+    reduction of the bias gradient happens IN VMEM — the combined kernel
+    instead wrote the per-(batch*head) ds tensor to HBM (513 MB fp32 per
+    layer at b=8 t=861) and re-read it for an XLA batch-sum. k/v blocks
+    depend only on (i0, i1) and stay resident across the q-block loop."""
+    i1 = pl.program_id(1)  # batch index
+    i2 = pl.program_id(2)  # q block index
+
+    @pl.when(jnp.logical_and(i1 == 0, i2 == 0))
+    def _():
+        dbias_ref[0, :, :] = jnp.zeros_like(dbias_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bias = b_ref[0]  # (block_q, t)
+    lse = lse_ref[0, 0, :][:, None]
+    do = do_ref[0].astype(jnp.float32)
+    delta = delta_ref[0, 0, :][:, None]
+
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)  # dL/d(scores+bias)
+    dbias_ref[0, pl.dslice(i2 * block_q, block_q), :] += ds
+    dq_ref[0, :, :] = jax.lax.dot_general(
+        ds * scale, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -253,9 +346,12 @@ def _attention_core_bwd(scale, block_q, h, interpret, res, do):
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
     )[:, None, :]  # (bh, 1, tp)
 
-    bias_index = (
-        (lambda i, j: (i % h, j, 0)) if shared_bias else (lambda i, j: (i, j, 0))
-    )
+    if shared_bias:
+        return _attention_core_bwd_split(
+            qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
+        )
+
+    bias_index = lambda i, j: (i, j, 0)
     grid = (bh, tp // block_q)
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_attn_kernel_bwd, scale=scale),
@@ -298,12 +394,92 @@ def _attention_core_bwd(scale, block_q, h, interpret, res, do):
 
     dk = dk.astype(kp.dtype)
     dv = dv.astype(vp.dtype)
-    if shared_bias:
-        # per-head bias shared across batch rows: sum grads over the batch
-        b = bh // h
-        dbias = dbias.reshape(b, h, tp, tp).sum(axis=0)
     dbias = dbias.astype(bias_p.dtype)
     return dq, dk, dv, dbias
+
+
+def _attention_core_bwd_split(
+    qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
+):
+    """Shared-bias backward as two kernels: (dk, dv) with q-blocks innermost
+    per row, and (dq, dbias) with the batch loop inside so the bias gradient
+    reduces over the batch in VMEM (one (h, t, t) write instead of a
+    (b*h, t, t) write + XLA reduce)."""
+    bh, tp, dp = qp.shape
+    b = bh // h
+    n_qb = tp // block_q
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_attn_kernel_bwd_dkdv, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(bh, n_qb),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, tp), lambda i, j: (i % h, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, lse, do, delta)
+
+    dq, dbias = pl.pallas_call(
+        functools.partial(
+            _attn_kernel_bwd_dq_dbias, scale=scale, block_q=block_q
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
+            jax.ShapeDtypeStruct((h, tp, tp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(h, b, n_qb),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda i0, i1, i2: (i1 * h + i0, i2, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i0, i1, i2: (i1 * h + i0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, dp), lambda i0, i1, i2: (i1 * h + i0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, tp), lambda i0, i1, i2: (i0, i2, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i0, i1, i2: (i1 * h + i0, 0, i2),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, dp), lambda i0, i1, i2: (i1 * h + i0, i2, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, block_q), lambda i0, i1, i2: (i1 * h + i0, 0, i2),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_q, dp), lambda i0, i1, i2: (i1 * h + i0, i2, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, tp), lambda i0, i1, i2: (i0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, lse, do, delta)
+
+    return dq, dk.astype(kp.dtype), dv.astype(vp.dtype), dbias.astype(bias_p.dtype)
 
 
 _attention_core.defvjp(_attention_core_fwd, _attention_core_bwd)
