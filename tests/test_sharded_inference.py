@@ -207,3 +207,28 @@ def test_vamp_full_path_under_pipeline():
     agree = (out == ref).mean()
     assert agree > 0.98, f"vamp under pipeline diverged: {agree:.3f}"
     np.testing.assert_array_equal(np.asarray(out_mask), np.asarray(ref_mask))
+
+
+def test_engine_data_parallel_over_pipeline():
+    """Engine dp serving composed with pipeline placement: batches shard over
+    the coarse slice's dp axis, and the stage boundary reshards onto the c2f
+    slice."""
+    from vampnet_tpu.serve import VampEngine, VampRequest
+
+    iface = _iface_two_stage()
+    z = np.asarray(iface.encode(_sig()))
+    z = np.concatenate([z, np.zeros_like(z)], axis=1)[:, :4]
+    mask = np.asarray(iface.build_mask(jnp.asarray(z), seed=0))
+
+    iface.shard_pipeline(n_coarse_devices=4)  # dp=4 coarse slice, dp=4 c2f
+    eng = VampEngine(iface, max_wait_ms=200.0, max_batch=4, data_parallel=True)
+    assert eng.dp == 4
+    futs = [
+        eng.submit(VampRequest(codes=z, mask=mask, seed=50 + i, sampling_steps=2))
+        for i in range(3)  # pads to 4 device rows
+    ]
+    outs = [f.result(240) for f in futs]
+    eng.close()
+    for o in outs:
+        assert o.shape == z.shape
+        assert (o != iface.c2f.mask_token).all()
