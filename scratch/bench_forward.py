@@ -97,6 +97,10 @@ def main():
         # engine batch-8 shapes (8 concurrent 10 s requests)
         ("20L bf16 b8", base, 8, 864),
         ("c2f 16L b32", c2f, 32, 260),
+        # int8 at serving shapes: m is large enough that w8a8 (XLA path)
+        # should beat bf16 — see bench_int8.py at BENCH_M=6912
+        ("20L int8 b8", dataclasses.replace(base, quantization="int8"), 8, 864),
+        ("c2f int8 b32", dataclasses.replace(c2f, quantization="int8"), 32, 260),
     ]
     only = os.environ.get("BENCH_ONLY")
     if only:

@@ -26,11 +26,13 @@ from vampnet_tpu.ops.int8_matmul import w8a8_matmul
 
 ITERS_LO, ITERS_HI = 50, 1050  # differential timing cancels tunnel RPC
 
-# coarse LM: b*t = 2*864 = 1728 rows
+# coarse LM: b*t = 2*864 = 1728 rows (single-stream); BENCH_M overrides
+# (serving batch-8: m = 8*864 = 6912)
+_M = int(os.environ.get("BENCH_M", 1728))
 SHAPES = [
-    ("qkv/fc 1280->1280", 1728, 1280, 1280),
-    ("w_1 1280->5120", 1728, 1280, 5120),
-    ("w_2 2560->1280", 1728, 2560, 1280),
+    ("qkv/fc 1280->1280", _M, 1280, 1280),
+    ("w_1 1280->5120", _M, 1280, 5120),
+    ("w_2 2560->1280", _M, 2560, 1280),
 ]
 
 

@@ -191,3 +191,22 @@ def test_vamp_feedback_steps(interface):
     mask = interface.build_mask(codes, periodic_prompt=5, seed=0)
     zv = interface.vamp(codes, mask, feedback_steps=2, seed=1, _sampling_steps=2)
     assert zv.shape == codes.shape
+
+
+def test_interface_quantize_opt_in(interface):
+    """interface.quantize() swaps LoRADense kernels for int8 + scales and the
+    full two-stage vamp still runs (w8a8 serving opt-in)."""
+    import copy
+
+    import flax.traverse_util as tu
+
+    iface = copy.copy(interface)  # don't quantize the shared fixture
+    z = iface.encode(_sig())
+    mask = iface.build_mask(z, periodic_prompt=5, seed=0)
+    iface.quantize()
+    flat = tu.flatten_dict(iface.coarse.params)
+    assert ("transformer", "layers_0", "feed_forward", "w_1", "kernel_q") in flat
+    assert iface.coarse.config.quantization == "int8"
+    out = iface.vamp(z, mask, batch_size=1, seed=3, _sampling_steps=2)
+    assert np.asarray(out).shape == (1, iface.c2f.n_codebooks, z.shape[-1])
+    assert (np.asarray(out) != iface.c2f.mask_token).all()

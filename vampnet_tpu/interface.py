@@ -280,6 +280,31 @@ class Interface:
         self.device = device
         return self
 
+    def quantize(self):
+        """Post-training int8 (w8a8) on both LMs — a serving-throughput
+        opt-in. The attention/FFN projections (>95% of LM FLOPs) switch to
+        int8 weights with dynamic per-row activation quant; embeddings and
+        the classifier stay bf16 (modules/quantize.py). At serving batch
+        shapes the int8 MXU path beats bf16 (docs/PERF.md); tokens deviate
+        slightly from the bf16 reference (logit corr >0.99), which is why
+        this is not the default. Call BEFORE shard()/shard_pipeline()."""
+        import dataclasses
+
+        from .modules.quantize import quantize_lm_params
+
+        for name in ("coarse", "c2f"):
+            lm = getattr(self, name)
+            if lm is None:
+                continue
+            cfg = dataclasses.replace(lm.config, quantization="int8")
+            new = _LoadedLM(
+                cfg, quantize_lm_params(lm.params), lm.chunk_size_s,
+                inference_dtype=None,  # params already bf16; keep f32 scales
+            )
+            setattr(self, name, new)
+        self._gen_cache.clear()
+        return self
+
     def shard(self, mesh=None, tp: int = 1):
         """Shard the LMs over a device mesh for multi-chip inference.
 

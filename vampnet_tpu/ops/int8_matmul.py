@@ -67,9 +67,15 @@ def w8a8_matmul(
     m = x2.shape[0]
 
     if impl == "auto":
+        # measured on v5e (scratch/bench_int8.py): the fused kernel wins only
+        # at small m, where the XLA path's separate quant dispatches dominate;
+        # at serving batch shapes (m ~ 7k) XLA fuses the row-quant into the
+        # int8 matmul and beats both the fused kernel (which re-streams the
+        # weight per row block) and bf16 (w_1: 0.284 vs 0.481 ms at m=6912)
         impl = (
             "pallas"
-            if (jax.default_backend() == "tpu" or interpret) and k <= MAX_FUSED_K
+            if (jax.default_backend() == "tpu" or interpret)
+            and k <= MAX_FUSED_K and m <= 2048
             else "xla"
         )
 
