@@ -303,6 +303,11 @@ class Interface:
             )
             setattr(self, name, new)
         self._gen_cache.clear()
+        if self._pipeline:
+            # the fresh param trees dropped their slice placements;
+            # re-invoke shard_pipeline after quantizing
+            self._pipeline = False
+            self._codec_params_decode = None
         return self
 
     def shard(self, mesh=None, tp: int = 1):
@@ -341,6 +346,7 @@ class Interface:
         self.codec_params = jax.device_put(self.codec_params, rep)
         self._codebooks = jax.device_put(self._codebooks, rep)
         self._pipeline = False
+        self._codec_params_decode = None
         self.coarse.mesh = self.coarse.codebooks = None
         if self.c2f is not None:
             self.c2f.mesh = self.c2f.codebooks = None
