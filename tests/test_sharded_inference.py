@@ -232,3 +232,21 @@ def test_engine_data_parallel_over_pipeline():
     for o in outs:
         assert o.shape == z.shape
         assert (o != iface.c2f.mask_token).all()
+
+
+def test_quantized_interface_shards():
+    """int8 param trees (kernel_q/kernel_scale) carry tp partition specs too
+    (parallel/partition.py), so the quantize -> shard composition serves."""
+    iface = _iface()
+    z = iface.encode(_sig())
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    iface.quantize()
+    iface.shard(tp=2)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(iface.coarse.params)
+    w1q = flat[("transformer", "layers_0", "feed_forward", "w_1", "kernel_q")]
+    assert len(w1q.sharding.device_set) >= 2
+    out = np.asarray(iface.coarse_vamp(z, mask, seed=3, _sampling_steps=2))
+    assert out.shape == np.asarray(z).shape
+    assert (out != iface.coarse.mask_token).all()
