@@ -4,6 +4,12 @@ Differential method (see bench_train.py): N_hi vs N_lo dependent iterations
 inside ONE jitted program. Variants toggle one component each:
 
   SURG=full        the real step (baseline)
+  SURG=lm1         1-layer LM — (full - lm1)/19 = per-layer fwd+bwd marginal
+  SURG=noattn      attention replaced by identity(v) — isolates the
+                   attention fwd+bwd share of the per-layer cost
+  SURG=bq448       flash attention with block_q=448 (one 896-row seq = 2
+                   blocks; bigger MXU tiles in the bwd kernels)
+  SURG=bq896       block_q=896 — whole padded sequence per program
   SURG=nometrics   loss only — no argmax/top_k(25) accuracy metrics
   SURG=nodrop      deterministic forward (no dropout masks)
   SURG=noopt       grads only, no AdamW update (params pass through)
@@ -42,8 +48,20 @@ SURG = os.environ.get("SURG", "full")
 
 def main():
     print("backend:", jax.default_backend(), "| variant:", SURG)
+    if SURG == "noattn":
+        # same params, same shapes, no attention math: out = v
+        from vampnet_tpu.modules import transformer as _t
+
+        _t.dot_product_attention = lambda q, k, v, **kw: v
+    if SURG.startswith("bq"):
+        from vampnet_tpu.ops import flash_attention as _fa
+
+        _orig = _fa.flash_attention_with_bias
+        _fa.flash_attention_with_bias = functools.partial(
+            _orig, block_q=int(SURG[2:])
+        )
     codec_cfg = CodecConfig()
-    cfg = LMConfig.coarse()
+    cfg = LMConfig.coarse(n_layers=1 if SURG == "lm1" else 20)
     codec = LAC(codec_cfg)
     model = VampNetLM(cfg)
     n_cb, ncc, mask_token = cfg.n_codebooks, 0, cfg.mask_token

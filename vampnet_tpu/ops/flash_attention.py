@@ -491,9 +491,7 @@ def flash_attention_with_bias(
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,  # (h, t, t) additive, fp32
     mask: Optional[jnp.ndarray] = None,  # (b, t, t); 0 = blocked
-    # 128 measured fastest at VampNet shapes (smaller blocks pipeline better
-    # AND pad t to a finer grid: 862->896 keys instead of 1024)
-    block_q: int = 128,
+    block_q: Optional[int] = None,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -503,6 +501,14 @@ def flash_attention_with_bias(
 
     # pad: t to lcm(block-aligned, 128 lanes), d to 128 lanes
     tp = _round_up(t, 128)
+    if block_q is None:
+        # whole-sequence q blocks when they fit VMEM (tp <= 896, no per-row
+        # mask): the bwd kernels then run one big (t, t) score matmul per
+        # program instead of seven 128-row ones — measured 207 -> 178 ms on
+        # the full train step at t=861 with identical key padding. The
+        # masked path's combined bwd kernel holds bias + dbias + (t, t)
+        # temps at once, and tp=1024 overflows VMEM, so those keep 128.
+        block_q = tp if (tp <= 896 and mask is None and not blocked) else 128
     block_q = min(block_q, tp)
     tp = _round_up(tp, block_q)
     if blocked:
