@@ -120,3 +120,31 @@ def test_vjp_matches_xla_grads_with_mask():
     bias = jax.random.normal(jax.random.PRNGKey(9), (4, 64, 64), jnp.float32)
     mask = jnp.ones((2, 64, 64), jnp.int32).at[:, :, 40:].set(0)
     _grad_check(bias=bias, mask=mask, t=64)
+
+
+def test_vjp_multi_qblock_split_backward():
+    """Force n_qb > 1 through the split shared-bias backward: the dslice
+    dbias accumulation across (batch, q_block) revisits and the dk/dv
+    accumulation across q blocks are otherwise untested (the adaptive
+    default makes every small-t test whole-sequence single-block)."""
+    bias = jax.random.normal(jax.random.PRNGKey(9), (4, 100, 100), jnp.float32)
+    b, h, d, t = 2, 4, 64, 100
+    ks = jax.random.split(jax.random.PRNGKey(7), 4)
+    q = jax.random.normal(ks[0], (b, t, h, d))
+    k = jax.random.normal(ks[1], (b, t, h, d))
+    v = jax.random.normal(ks[2], (b, t, h, d))
+
+    def loss(block_q):
+        def f(q, k, v, bias):
+            out = flash_attention_with_bias(
+                q, k, v, bias=bias, block_q=block_q, interpret=True
+            )
+            return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+        return f
+
+    g_multi = jax.grad(loss(64), (0, 1, 2, 3))(q, k, v, bias)  # tp=128, n_qb=2
+    g_whole = jax.grad(loss(None), (0, 1, 2, 3))(q, k, v, bias)
+    for gm, gw, name in zip(g_multi, g_whole, ["dq", "dk", "dv", "dbias"]):
+        np.testing.assert_allclose(
+            np.asarray(gm), np.asarray(gw), atol=2e-3, rtol=1e-2, err_msg=name
+        )

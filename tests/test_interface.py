@@ -201,6 +201,7 @@ def test_interface_quantize_opt_in(interface):
     import flax.traverse_util as tu
 
     iface = copy.copy(interface)  # don't quantize the shared fixture
+    iface._gen_cache = dict(iface._gen_cache)  # nor clear its jit cache
     z = iface.encode(_sig())
     mask = iface.build_mask(z, periodic_prompt=5, seed=0)
     iface.quantize()

@@ -250,3 +250,24 @@ def test_quantized_interface_shards():
     out = np.asarray(iface.coarse_vamp(z, mask, seed=3, _sampling_steps=2))
     assert out.shape == np.asarray(z).shape
     assert (out != iface.coarse.mask_token).all()
+
+
+def test_quantize_under_pipeline_unwinds_placement():
+    """Dropping pipeline mode (quantize/reload) must pull every still-placed
+    tree off the stale slices: codec decode after the drop runs against
+    consistent placements and the engine's data_parallel precondition fails
+    until re-sharded (stale _mesh bug)."""
+    iface = _iface_two_stage()
+    z = iface.encode(_sig())
+    z = jnp.concatenate([z, jnp.zeros_like(z)], axis=1)[:, :4]
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    iface.shard_pipeline(n_coarse_devices=4)
+    _two_stage(iface, z, mask)  # commit arrays on both slices
+
+    iface.quantize()
+    assert iface._pipeline is False
+    assert iface._mesh is None and iface._codec_params_decode is None
+    assert iface.coarse.mesh is None and iface.c2f.mesh is None
+    out = _two_stage(iface, z, mask)
+    audio = iface.decode(out)  # mixed-slice commits would crash here
+    assert np.asarray(audio.samples).shape[0] == 1

@@ -254,8 +254,26 @@ class Interface:
         ):
             # a swapped model arrived unplaced: drop pipeline mode rather than
             # run one stage off-slice; caller re-invokes shard_pipeline
-            self._pipeline = False
-            self._codec_params_decode = None
+            self._drop_pipeline()
+
+    def _drop_pipeline(self):
+        """Fully unwind shard_pipeline state: pull every still-placed tree
+        back to the default device so no stage runs against arrays committed
+        to a now-stale slice, and clear the mesh so the engine's
+        data_parallel precondition fails loudly until re-sharded."""
+        dev = jax.devices()[0]
+        self.codec_params = jax.device_put(self.codec_params, dev)
+        self._codebooks = jax.device_put(self._codebooks, dev)
+        for lm in (self.coarse, self.c2f):
+            if lm is not None:
+                # unconditional: a freshly-swapped/quantized tree can MIX
+                # uncommitted leaves with leaves still committed to a slice
+                lm.params = jax.device_put(lm.params, dev)
+                lm.mesh = lm.codebooks = None
+        self._pipeline = False
+        self._codec_params_decode = None
+        self._mesh = None
+        self._gen_cache.clear()
 
     # ---------- time/token conversion ----------
 
@@ -306,8 +324,7 @@ class Interface:
         if self._pipeline:
             # the fresh param trees dropped their slice placements;
             # re-invoke shard_pipeline after quantizing
-            self._pipeline = False
-            self._codec_params_decode = None
+            self._drop_pipeline()
         return self
 
     def shard(self, mesh=None, tp: int = 1):

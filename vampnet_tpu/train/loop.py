@@ -48,6 +48,28 @@ def build_controller(args, codec_cfg):
     )
 
 
+def _encode_microbatch(args, dp: int):
+    """Validate the encode_microbatch knob: dp>1 already divides the per-chip
+    batch, and lax.map over a dp-sharded axis would serialize devices — the
+    option is single-mesh only, and misconfiguration must fail loudly (the
+    user set it because the full-batch encode OOMs)."""
+    mb = args.get("encode_microbatch")
+    if not mb:
+        return None
+    if dp > 1:
+        # dp already divides the per-chip batch (the OOM this knob fights
+        # shrinks with it), and lax.map over a dp-sharded axis would
+        # serialize devices — drop it, loudly
+        import warnings
+
+        warnings.warn(
+            f"encode_microbatch={mb} ignored: single-mesh only and dp={dp} "
+            "already divides the per-chip encode batch"
+        )
+        return None
+    return int(mb)
+
+
 def build_lm_config(args, fine_tune: bool = False, controller=None) -> LMConfig:
     g = lambda attr, default: cfglib.bound(args, "VampNet", attr, default)
     ctrl_dims = None
@@ -192,14 +214,8 @@ def train(args: dict, seed: int = 0) -> TrainState:
         make_train_step(lm, codec, optimizer, label_smoothing=label_smoothing,
                         controller=controller,
                         # bound codec-encode temps (the big-batch OOM source;
-                        # see make_train_step). dp>1 already divides the
-                        # per-chip batch, and lax.map over a dp-sharded axis
-                        # would serialize devices — single-mesh only.
-                        encode_microbatch=(
-                            int(args["encode_microbatch"])
-                            if args.get("encode_microbatch") and dp == 1
-                            else None
-                        )),
+                        # see make_train_step)
+                        encode_microbatch=_encode_microbatch(args, dp)),
         in_shardings=(state_sh, rep, rep, batch_sharding, rep),
         out_shardings=(state_sh, rep),
         # donate the state: params + Adam moments (~4 GB fp32 at coarse

@@ -146,7 +146,16 @@ def make_train_step(
             )["codes"]
 
         mb = encode_microbatch
-        if mb and 0 < mb < audio.shape[0] and audio.shape[0] % mb == 0:
+        if mb:
+            # loud, not silent: a user sets this because the full-batch encode
+            # OOMs — falling back would reproduce the OOM and look like the
+            # knob is broken (trace-time check; shapes are static under jit)
+            if audio.shape[0] % mb != 0:
+                raise ValueError(
+                    f"encode_microbatch={mb} must divide the batch "
+                    f"({audio.shape[0]})"
+                )
+        if mb and 0 < mb < audio.shape[0]:
             grouped = audio.reshape(audio.shape[0] // mb, mb, *audio.shape[1:])
             codes = jax.lax.map(encode, grouped)
             codes = codes.reshape(audio.shape[0], *codes.shape[2:])
