@@ -508,7 +508,12 @@ def flash_attention_with_bias(
         # the full train step at t=861 with identical key padding. The
         # masked path's combined bwd kernel holds bias + dbias + (t, t)
         # temps at once, and tp=1024 overflows VMEM, so those keep 128.
-        block_q = tp if (tp <= 896 and mask is None and not blocked) else 128
+        # The blocked (online-softmax) path prefers 512-row q blocks:
+        # 1.8x over 128 at t=2048 (bigger MXU tiles; k/v stream per block_k).
+        if blocked:
+            block_q = 512
+        else:
+            block_q = tp if (tp <= 896 and mask is None) else 128
     block_q = min(block_q, tp)
     tp = _round_up(tp, block_q)
     if blocked:
