@@ -178,3 +178,43 @@ def test_encode_microbatch_matches_full_encode():
         jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_train_step_with_remat_runs():
+    """remat (gradient checkpointing) composed with the dp/tp/ZeRO-1 sharded
+    step — the production big-batch configuration — must trace and execute."""
+    import dataclasses
+
+    cfg = dataclasses.replace(LM_CFG, remat=True)
+    codec, codec_params, lm, lm_params, cbs, _ = _setup(cfg)
+    audio = jax.random.normal(jax.random.PRNGKey(5), (4, CODEC_CFG.hop_length * 16, 1)) * 0.1
+    opt = make_optimizer(cfg.embedding_dim, warmup=10)
+    mesh = make_mesh(n_devices=8, tp=2)
+    specs = lm_param_specs(lm_params)
+    mspecs = zero1_specs(specs, lm_params, dp_size=4)
+    opt_state = opt.init(lm_params)
+    opt_specs = opt_state_specs(opt_state, mspecs)
+    sh = lambda tree: jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), tree)
+    state_sh = TrainState(sh(specs), sh(opt_specs), NamedSharding(mesh, P()))
+    rep = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp", None, None))
+    state = TrainState(
+        jax.device_put(lm_params, state_sh.params),
+        jax.device_put(opt_state, state_sh.opt_state),
+        jax.device_put(jnp.zeros((), jnp.int32), state_sh.step),
+    )
+    step = jax.jit(
+        make_train_step(lm, codec, opt, encode_microbatch=2),
+        in_shardings=(state_sh, rep, rep, batch_sh, rep),
+        out_shardings=(state_sh, rep),
+        donate_argnums=(0,),
+    )
+    state, metrics = step(
+        state,
+        jax.device_put(codec_params, rep),
+        jax.device_put(cbs, rep),
+        jax.device_put(audio, batch_sh),
+        jax.device_put(jax.random.PRNGKey(0), rep),
+    )
+    assert int(state.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
