@@ -407,6 +407,13 @@ def _attention_core_bwd_split(
     (b*h, t, t) write + XLA reduce)."""
     bh, tp, dp = qp.shape
     b = bh // h
+    if block_q >= tp and bh > 160:
+        # whole-sequence backward blocks are the fast path (train step
+        # 207 -> 177.6 ms at b=8), but on larger grids they overflow the
+        # 16 MB scoped-VMEM limit / the chip's HBM headroom (observed at
+        # b=16 coarse training: scoped 18.7M, then HBM +199M). Fall back
+        # to 128-row blocks there — the measured-working large-batch shape.
+        block_q = 128
     n_qb = tp // block_q
 
     dk, dv = pl.pallas_call(
@@ -476,6 +483,12 @@ def _attention_core_bwd_split(
                              memory_space=pltpu.VMEM),
             ),
         ),
+        # whole-seq blocks put this kernel's resident set (bias + dbias +
+        # (t, t) temps) at ~18 MB — over Mosaic's conservative 16 MB default
+        # scoped-VMEM limit in some fusion contexts (remat), though far under
+        # the chip's 128 MB VMEM. Raise the limit rather than shrink the
+        # blocks (448-row blocks measured 14 ms/step slower).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, bias_p, lse, do, delta)
 
