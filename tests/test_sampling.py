@@ -133,7 +133,7 @@ def test_generate_schedule_counts_mask_tokens_per_row():
 
     remasked_per_row = []
 
-    def cb(i, z_masked_new, sampled, new_mask):
+    def cb(i, z_masked_new, sampled, new_mask, selected_probs, num_to_mask):
         remasked_per_row.append((int(i), np.asarray(new_mask).sum(axis=(1, 2))))
 
     def forward(z_masked):

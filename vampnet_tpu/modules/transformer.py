@@ -60,10 +60,19 @@ class LMConfig:
     quantization: Optional[str] = None  # "int8" -> w8a8 matmuls (see modules/quantize.py)
     ctrl_dims: Optional[Tuple[Tuple[str, int], ...]] = None
     cfg_dropout_prob: float = 0.2
+    # matmul/activation dtype. bf16 is the TPU fast path; "float32" exists for
+    # bit-accurate parity work (e.g. the lockstep generate test runs the whole
+    # MaskGIT loop against the torch reference, where bf16 rounding can flip
+    # argmax ties). Params are always fp32 regardless.
+    compute_dtype: str = "bfloat16"
 
     @property
     def n_predict_codebooks(self) -> int:
         return self.n_codebooks - self.n_conditioning_codebooks
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def mask_token(self) -> int:
@@ -464,6 +473,7 @@ class VampNetLM(nn.Module):
             n_codebooks=cfg.n_codebooks,
             emb_dim=cfg.embedding_dim,
             special_tokens=("MASK",),
+            dtype=cfg.dtype,
             name="embedding",
         )
         self.transformer = TransformerStack(
@@ -477,6 +487,7 @@ class VampNetLM(nn.Module):
             ffn_impl=cfg.ffn_impl,
             remat=cfg.remat,
             quantize=cfg.quantization == "int8",
+            dtype=cfg.dtype,
             name="transformer",
         )
         # 1x1 conv classifier (reference transformer.py:596-604) as a Dense.
@@ -487,7 +498,7 @@ class VampNetLM(nn.Module):
         # columns instead (convert.py), so the reshape below is free.
         self.classifier = nn.Dense(
             cfg.vocab_size * cfg.n_predict_codebooks,
-            dtype=jnp.bfloat16,
+            dtype=cfg.dtype,
             param_dtype=jnp.float32,
             name="classifier",
         )
@@ -495,6 +506,7 @@ class VampNetLM(nn.Module):
             self.ctrl_encoder = ControlEncoder(
                 ctrl_dims=cfg.ctrl_dims,
                 cfg_dropout_prob=cfg.cfg_dropout_prob,
+                dtype=cfg.dtype,
                 name="ctrl_encoder",
             )
 

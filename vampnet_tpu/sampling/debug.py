@@ -15,11 +15,12 @@ import numpy as np
 
 
 def save_debug_dumps(debug_dir: str = "vampnet-debug", save_png: bool = True):
-    """Returns a callback(step, z_masked, sampled, mask) for generate()."""
+    """Returns a callback(step, z_masked, sampled, mask, selected_probs,
+    num_to_mask) for generate()."""
     root = Path(debug_dir)
     root.mkdir(parents=True, exist_ok=True)
 
-    def callback(step, z_masked, sampled, mask):
+    def callback(step, z_masked, sampled, mask, selected_probs, num_to_mask):
         step = int(step)
         step_dir = root / f"step_{step}"
         step_dir.mkdir(exist_ok=True)
@@ -27,7 +28,9 @@ def save_debug_dumps(debug_dir: str = "vampnet-debug", save_png: bool = True):
         sampled = np.asarray(sampled)
         mask = np.asarray(mask)
         np.savez(
-            step_dir / "state.npz", z_masked=z_masked, sampled=sampled, mask=mask
+            step_dir / "state.npz", z_masked=z_masked, sampled=sampled, mask=mask,
+            selected_probs=np.asarray(selected_probs),
+            num_to_mask=np.asarray(num_to_mask),
         )
         if save_png:
             try:

@@ -247,12 +247,16 @@ def generate(
             [z[:, :ncc, :], codebook_unflatten(z_masked_flat, n_infer)], axis=1
         )
         if debug_callback is not None:
-            # per-step host dump (reference transformer.py:824-889 debug mode)
+            # per-step host dump (reference transformer.py:824-889 debug mode);
+            # also the observation point for the lockstep parity test against
+            # the running torch reference (tests/test_lockstep_generate.py)
             jax.debug.callback(
                 debug_callback, i,
                 z_masked_new,
                 codebook_unflatten(sampled, n_infer),
                 codebook_unflatten(new_mask.astype(jnp.int32), n_infer),
+                selected_probs,
+                num_to_mask[:, 0],
             )
         return z_masked_new, sampled, key
 
