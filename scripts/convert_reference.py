@@ -1,0 +1,373 @@
+#!/usr/bin/env python
+"""Weight-day pipeline: convert a reference HF snapshot to native checkpoints,
+run parity smoke, and capture deterministic reference golden tokens.
+
+One command converts everything the reference hub ships
+(reference vampnet/__init__.py:20-77, scripts/exp/export.py:43-72):
+
+    python scripts/convert_reference.py /path/to/snapshot \
+        [--out models/vampnet] [--reference /root/reference/vampnet] \
+        [--no-parity] [--no-goldens] [--steps 12] [--seq 64]
+
+Snapshot layout (what `huggingface_hub.snapshot_download` of the reference
+repo produces):
+
+    codec.pth  coarse.pth  c2f.pth  [wavebeat.pth]  [loras/<name>/{coarse,c2f}.pth]
+
+Outputs `.vtpu` checkpoints next to the same names under --out; the registry
+prefers these over `.pth` (vampnet_tpu/registry.py:_prefer_native), so after
+this command `Interface.default()` runs natively and offline.
+
+Stages:
+  1. convert    torch .pth -> native .vtpu for codec / coarse / c2f /
+                wavebeat / every lora dir
+  2. parity     load each torch LM into the mounted reference implementation
+                (tests/reference_harness.py — imported, never copied) and
+                assert logits corr > 0.999 vs our converted model on the same
+                codes + codebook tables; codec encode/decode round-trip
+                sanity (full numerical codec parity needs the external `lac`
+                package — checked when importable)
+  3. goldens    run the reference's `VampNet.generate`
+                (vampnet/modules/transformer.py:686-946) in the deterministic
+                regime (argmax sampling, noise-free re-masking — the same
+                protocol as tests/test_lockstep_generate.py) and assert our
+                jitted sampler reproduces its tokens EXACTLY, for coarse and
+                c2f; token streams land in <out>/goldens/*.npz
+  4. report     <out>/CONVERSION_REPORT.md with every check's number
+
+The whole command is rehearsed on synthetic checkpoints in
+tests/test_convert_reference_pipeline.py, so weight day is just pointing it
+at the real snapshot.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def _log(report: list, msg: str) -> None:
+    print(msg, flush=True)
+    report.append(msg)
+
+
+def _load_reference(ref_root: str):
+    from tests.reference_harness import load_reference_transformer
+
+    return load_reference_transformer(ref_root)
+
+
+def _ref_model_from_ckpt(mod, path):
+    """Instantiate the reference VampNet from a checkpoint's metadata kwargs
+    (audiotools BaseModel layout: {"state_dict", "metadata": {"kwargs"}})."""
+    import inspect
+
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj["state_dict"] if isinstance(obj, dict) and "state_dict" in obj else obj
+    kwargs = {}
+    if isinstance(obj, dict):
+        kwargs = dict((obj.get("metadata") or {}).get("kwargs", {}))
+    sig = inspect.signature(mod.VampNet.__init__)
+    kwargs = {k: v for k, v in kwargs.items() if k in sig.parameters}
+    kwargs["flash_attn"] = False  # CUDA extension; parity runs on CPU
+    kwargs.setdefault("dropout", 0.0)
+    ref = mod.VampNet(**kwargs)
+    clean = {}
+    for k, v in sd.items():
+        for pref in ("module.", "_orig_mod."):
+            while k.startswith(pref):
+                k = k[len(pref):]
+        clean[k] = v
+    missing, unexpected = ref.load_state_dict(clean, strict=False)
+    # lenient like the reference (interface.py:34,45) but surface surprises
+    if missing or unexpected:
+        print(f"  note: load_state_dict missing={missing} unexpected={unexpected}")
+    return ref.eval()
+
+
+class _FakeTorchCodec:
+    """Wraps our converted codebook tables for the reference's
+    embedding.from_codes (reference layers.py:145)."""
+
+    def __init__(self, tables_np):
+        import torch
+
+        class _CB:
+            def __init__(self, w):
+                self.codebook = torch.nn.Embedding.from_pretrained(torch.tensor(w))
+
+        class _Q:
+            def __init__(self, ws):
+                self.quantizers = [_CB(np.asarray(w)) for w in ws]
+
+        self.quantizer = _Q(tables_np)
+
+
+def _lm_parity(mod, torch_path, cfg, params, codebooks, report, seq=32) -> None:
+    import jax.numpy as jnp
+    import torch
+
+    from vampnet_tpu.modules import VampNetLM
+
+    ref = _ref_model_from_ckpt(mod, torch_path)
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, cfg.vocab_size, (1, cfg.n_codebooks, seq))
+    codes[:, cfg.n_conditioning_codebooks :, ::3] = cfg.mask_token
+    with torch.no_grad():
+        latents = ref.embedding.from_codes(
+            torch.tensor(codes, dtype=torch.long), _FakeTorchCodec(codebooks)
+        )
+        ref_logits = ref(latents).numpy()  # (1, vocab, t*n_infer)
+    model = VampNetLM(cfg)
+    logits = model.apply(
+        {"params": params}, jnp.asarray(codes), jnp.asarray(np.asarray(codebooks)),
+        method="forward_codes",
+    )
+    n_infer, v = cfg.n_predict_codebooks, cfg.vocab_size
+    ours = np.asarray(
+        jnp.transpose(logits.reshape(1, seq * n_infer, v), (0, 2, 1))
+    )
+    corr = np.corrcoef(ours.ravel(), ref_logits.ravel())[0, 1]
+    err = float(np.abs(ours - ref_logits).max())
+    _log(report, f"  logits corr={corr:.6f} max_err={err:.4f} (bf16 vs fp32)")
+    assert corr > 0.999, f"{torch_path}: converted logits corr {corr} < 0.999"
+
+
+def _codec_smoke(codec_cfg, codec_params, report) -> np.ndarray:
+    """Round-trip sanity on the converted codec; returns encoded test codes."""
+    import jax.numpy as jnp
+
+    from vampnet_tpu.codec import LAC
+
+    model = LAC(codec_cfg)
+    t = np.arange(codec_cfg.hop_length * 64) / codec_cfg.sample_rate
+    x = (0.4 * np.sin(2 * np.pi * 220 * t) + 0.2 * np.sin(2 * np.pi * 331 * t))
+    audio = jnp.asarray(x.astype(np.float32))[None, :, None]
+    enc = model.apply({"params": codec_params}, audio, method="encode")
+    codes = np.asarray(enc["codes"])
+    decoded = model.apply({"params": codec_params}, enc["codes"], method="decode_codes")
+    assert np.isfinite(np.asarray(decoded)).all(), "codec decode produced NaN/inf"
+    used = len(np.unique(codes))
+    _log(
+        report,
+        f"  encode->{codes.shape} codes, {used} distinct tokens, decode finite",
+    )
+    assert used > 4, "codec collapsed to a near-constant code stream"
+    tables = model.apply({"params": codec_params}, method="codebook_tables")
+    return codes, np.asarray(tables)
+
+
+def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from vampnet_tpu.modules import VampNetLM
+    from vampnet_tpu.sampling import generate
+
+    # fp32 compute: the torch reference runs fp32, and bf16 rounding can flip
+    # argmax at near-ties — the golden pins conversion + loop semantics, not
+    # the production bf16 fast path (whose divergence is rounding-level)
+    model = VampNetLM(dataclasses.replace(cfg, compute_dtype="float32"))
+
+    def forward(zm, c=None, cm=None):
+        return model.apply(
+            {"params": params}, zm, jnp.asarray(codebooks), method="forward_codes"
+        )
+
+    out = generate(
+        forward, jax.random.PRNGKey(0), jnp.asarray(codes), jnp.asarray(mask),
+        mask_token=cfg.mask_token,
+        n_conditioning_codebooks=cfg.n_conditioning_codebooks,
+        sampling_steps=steps, temperature=1.0, mask_temperature=0.0,
+        typical_filtering=False, sample_cutoff=-1.0, sampler_impl="xla",
+    )
+    return np.asarray(out)
+
+
+def _deterministic_generate_ref(mod, ref, tables, codes, mask, steps):
+    import torch
+
+    out = ref.generate(
+        _FakeTorchCodec(tables),
+        start_tokens=torch.tensor(codes, dtype=torch.long),
+        mask=torch.tensor(np.asarray(mask), dtype=torch.long),
+        _sampling_steps=steps, temperature=1.0, mask_temperature=0.0,
+        typical_filtering=False, sample_cutoff=-1.0, return_signal=False,
+    )
+    return out.numpy()
+
+
+def convert_reference(
+    snapshot: str,
+    out: str = "models/vampnet",
+    reference: str = "/root/reference/vampnet",
+    parity: bool = True,
+    goldens: bool = True,
+    steps: int = 12,
+    seq: int = 64,
+) -> Path:
+    """Run the full pipeline; returns the output directory."""
+    from vampnet_tpu.checkpoints import (
+        load_codec,
+        load_lm,
+        save_codec,
+        save_lm,
+        save_wavebeat,
+    )
+    from vampnet_tpu.convert import lm_from_torch_checkpoint
+
+    snap = Path(snapshot)
+    out_dir = Path(out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    report: list = [f"# Conversion report — {snap} -> {out_dir}", ""]
+    t0 = time.time()
+
+    # ---- stage 1: convert ----
+    _log(report, "## 1. convert")
+    assert (snap / "codec.pth").exists(), f"{snap}/codec.pth missing"
+    codec_cfg, codec_params = load_codec(snap / "codec.pth")
+    save_codec(out_dir / "codec.vtpu", codec_cfg, codec_params)
+    _log(report, f"- codec.pth -> codec.vtpu ({codec_cfg.sample_rate} Hz, "
+                 f"{codec_cfg.n_codebooks} cb x {codec_cfg.codebook_size})")
+
+    lms = {}
+    for name in ("coarse", "c2f"):
+        src = snap / f"{name}.pth"
+        assert src.exists(), f"{src} missing"
+        cfg, params = lm_from_torch_checkpoint(src)
+        save_lm(out_dir / f"{name}.vtpu", cfg, params)
+        lms[name] = (src, cfg, params)
+        _log(report, f"- {name}.pth -> {name}.vtpu ({cfg.n_layers}L/"
+                     f"{cfg.n_heads}H/{cfg.embedding_dim}d, "
+                     f"{cfg.n_codebooks} cb / {cfg.n_conditioning_codebooks} cond)")
+
+    if (snap / "wavebeat.pth").exists():
+        from vampnet_tpu.wavebeat import dstcn_from_torch_checkpoint
+
+        wb_cfg, wb_params = dstcn_from_torch_checkpoint(snap / "wavebeat.pth")
+        save_wavebeat(out_dir / "wavebeat.vtpu", wb_cfg, wb_params)
+        _log(report, f"- wavebeat.pth -> wavebeat.vtpu "
+                     f"({len(wb_cfg.blocks)} blocks @ {wb_cfg.sample_rate} Hz)")
+    else:
+        _log(report, "- wavebeat.pth absent (beat masks fall back to DP tracker)")
+
+    lora_dirs = sorted((snap / "loras").glob("*")) if (snap / "loras").exists() else []
+    for d in lora_dirs:
+        for name in ("coarse", "c2f"):
+            src = d / f"{name}.pth"
+            if not src.exists():
+                continue
+            cfg, params = lm_from_torch_checkpoint(src)
+            save_lm(out_dir / "loras" / d.name / f"{name}.vtpu", cfg, params)
+        _log(report, f"- loras/{d.name} converted")
+
+    # ---- stage 2: parity smoke ----
+    codes = tables = None
+    if parity:
+        _log(report, "\n## 2. parity smoke")
+        _log(report, "- codec round-trip:")
+        codes, tables = _codec_smoke(codec_cfg, codec_params, report)
+        try:
+            import lac  # noqa: F401  # pragma: no cover - not installed here
+
+            _log(report, "  (`lac` importable: run tests/test_codec_convert.py "
+                         "for full numerical codec parity)")
+        except ImportError:
+            _log(report, "  (external `lac` not installed: numerical codec parity "
+                         "rides the converter rehearsal tests instead)")
+        mod = _load_reference(reference)
+        for name, (src, cfg, params) in lms.items():
+            _log(report, f"- {name} logits vs reference torch:")
+            n_cb = cfg.n_codebooks
+            _lm_parity(mod, src, cfg, params, tables[:n_cb], report, seq=min(seq, 32))
+
+    # ---- stage 3: deterministic goldens ----
+    if goldens:
+        _log(report, "\n## 3. reference golden tokens (deterministic regime)")
+        from vampnet_tpu import mask as pmask
+
+        if tables is None:
+            from vampnet_tpu.codec import LAC
+
+            model = LAC(codec_cfg)
+            tables = np.asarray(
+                model.apply({"params": codec_params}, method="codebook_tables")
+            )
+        mod = _load_reference(reference)
+        golden_dir = out_dir / "goldens"
+        golden_dir.mkdir(exist_ok=True)
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(42)
+        for name, (src, cfg, params) in lms.items():
+            t = min(seq, 64)
+            z = rng.integers(0, cfg.vocab_size, (1, cfg.n_codebooks, t))
+            if codes is not None and codes.shape[1] >= cfg.n_codebooks:
+                z = codes[:1, : cfg.n_codebooks, :t].astype(np.int64)
+            # BASELINE config-1 mask shape: periodic prompt + upper codebook mask
+            m = pmask.mask_and(
+                pmask.full_mask(jnp.asarray(z)),
+                pmask.periodic_mask(jnp.asarray(z), 7, 1),
+            )
+            if cfg.n_conditioning_codebooks:
+                m = pmask.codebook_unmask(m, cfg.n_conditioning_codebooks)
+            else:
+                m = pmask.codebook_mask(m, 3)
+            m = np.asarray(m)
+            n_steps = steps if name == "coarse" else 2
+            ref_model = _ref_model_from_ckpt(mod, src)
+            ref_tokens = _deterministic_generate_ref(
+                mod, ref_model, tables[: cfg.n_codebooks], z, m, n_steps
+            )
+            ours = _deterministic_generate_ours(
+                cfg, params, tables[: cfg.n_codebooks], z, m, n_steps
+            )
+            match = np.array_equal(ours, ref_tokens)
+            n_tok = ref_tokens.size
+            _log(report, f"- {name}: {n_steps} steps, {n_tok} tokens -> "
+                         f"{'EXACT MATCH' if match else 'MISMATCH'}")
+            np.savez(
+                golden_dir / f"{name}.npz",
+                codes=z, mask=m, ref_tokens=ref_tokens, ours=ours,
+                steps=n_steps,
+            )
+            assert match, (
+                f"{name}: deterministic generate diverged from the reference "
+                f"({(ours != ref_tokens).sum()}/{n_tok} tokens differ); see "
+                f"{golden_dir / f'{name}.npz'}"
+            )
+
+    _log(report, f"\ndone in {time.time() - t0:.1f}s")
+    (out_dir / "CONVERSION_REPORT.md").write_text("\n".join(report) + "\n")
+    print(f"report: {out_dir / 'CONVERSION_REPORT.md'}")
+    return out_dir
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("snapshot", help="HF snapshot dir holding the reference .pth files")
+    ap.add_argument("--out", default="models/vampnet")
+    ap.add_argument("--reference", default="/root/reference/vampnet",
+                    help="mounted reference vampnet/ package (parity + goldens)")
+    ap.add_argument("--no-parity", dest="parity", action="store_false")
+    ap.add_argument("--no-goldens", dest="goldens", action="store_false")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--seq", type=int, default=64)
+    args = ap.parse_args(argv)
+    convert_reference(
+        args.snapshot, out=args.out, reference=args.reference,
+        parity=args.parity, goldens=args.goldens, steps=args.steps, seq=args.seq,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,19 +61,23 @@ def _load(name: str, path: str):
     return mod
 
 
-def load_reference_transformer():
-    """Returns the reference vampnet.modules.transformer module (torch)."""
+def load_reference_transformer(ref_root: str = REF):
+    """Returns the reference vampnet.modules.transformer module (torch).
+
+    `ref_root` points at the reference's `vampnet/` package directory; the
+    weight-day pipeline (scripts/convert_reference.py) passes its --reference
+    flag through here for parity smoke + golden capture."""
     _stub_deps()
     if "refvamp.modules.transformer" in sys.modules:
         return sys.modules["refvamp.modules.transformer"]
     pkg = types.ModuleType("refvamp")
-    pkg.__path__ = [REF]
+    pkg.__path__ = [ref_root]
     sys.modules["refvamp"] = pkg
     sub = types.ModuleType("refvamp.modules")
-    sub.__path__ = [REF + "/modules"]
+    sub.__path__ = [ref_root + "/modules"]
     sys.modules["refvamp.modules"] = sub
-    _load("refvamp.util", REF + "/util.py")
-    _load("refvamp.mask", REF + "/mask.py")
-    _load("refvamp.modules.activations", REF + "/modules/activations.py")
-    _load("refvamp.modules.layers", REF + "/modules/layers.py")
-    return _load("refvamp.modules.transformer", REF + "/modules/transformer.py")
+    _load("refvamp.util", ref_root + "/util.py")
+    _load("refvamp.mask", ref_root + "/mask.py")
+    _load("refvamp.modules.activations", ref_root + "/modules/activations.py")
+    _load("refvamp.modules.layers", ref_root + "/modules/layers.py")
+    return _load("refvamp.modules.transformer", ref_root + "/modules/transformer.py")

@@ -151,6 +151,54 @@ def test_fullscale_codec_conversion(tmp_path):
         )
 
 
+def test_fullscale_wavebeat_conversion(tmp_path):
+    """wavebeat converter at the PUBLISHED model scale (8 blocks, width 32,
+    growth 32, kernel 15, stride 2, dilation cycle (1, 8) @ 22.05 kHz —
+    reference `wavebeat` dsTCNModel defaults, vampnet/beats.py:203-223):
+    Lightning checkpoint -> BN-folded flax, forward parity, then the native
+    .vtpu round-trip the weight-day pipeline writes."""
+    from tests.test_wavebeat import TDsTCN
+
+    from vampnet_tpu.checkpoints import load_wavebeat, save_wavebeat
+    from vampnet_tpu.wavebeat import DsTCN, dstcn_from_torch_checkpoint
+
+    hp = dict(
+        ninputs=1, noutputs=2, nblocks=8, kernel_size=15, stride=2,
+        dilation_growth=8, dilation_cycle=2, channel_width=32,
+        channel_growth=32, sample_rate=22050,
+    )
+    torch.manual_seed(0)
+    tmodel = TDsTCN(hp).eval()
+    path = tmp_path / "wavebeat.pth"
+    torch.save({"state_dict": tmodel.state_dict(), "hyper_parameters": hp}, path)
+
+    cfg, params = dstcn_from_torch_checkpoint(path)
+    assert len(cfg.blocks) == 8
+    assert cfg.blocks[0].out_ch == 32 and cfg.blocks[-1].out_ch == 32 + 7 * 32
+    assert cfg.total_stride == 256  # ~86 fps activations at 22.05 kHz
+
+    x = torch.randn(1, 1, 2 ** 14) * 0.1
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    ours = DsTCN(cfg).apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 1))
+    )
+    ours = np.asarray(ours).transpose(0, 2, 1)
+    t = min(ours.shape[-1], ref.shape[-1])
+    np.testing.assert_allclose(ours[..., :t], ref[..., :t], atol=2e-4, rtol=1e-3)
+
+    native = tmp_path / "wavebeat.vtpu"
+    save_wavebeat(native, cfg, params)
+    cfg2, params2 = load_wavebeat(native)
+    assert cfg2 == cfg
+    ours2 = DsTCN(cfg2).apply(
+        {"params": params2}, jnp.asarray(x.numpy().transpose(0, 2, 1))
+    )
+    np.testing.assert_array_equal(np.asarray(ours2), np.asarray(
+        DsTCN(cfg).apply({"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 1)))
+    ))
+
+
 def test_fullscale_lora_adapter_shapes(tmp_path):
     """loralib adapter dict at real scale (r=8 on q/v/out + FFN w_1/w_2,
     reference transformer.py:22,67-68,109-114) converts to overlay leaves of

@@ -211,3 +211,9 @@ def test_interface_quantize_opt_in(interface):
     out = iface.vamp(z, mask, batch_size=1, seed=3, _sampling_steps=2)
     assert np.asarray(out).shape == (1, iface.c2f.n_codebooks, z.shape[-1])
     assert (np.asarray(out) != iface.c2f.mask_token).all()
+
+    # idempotent: a second quantize() must not re-quantize the int8 tree
+    # (kernel_q + scales through the quantizer would corrupt the params)
+    params_before = iface.coarse.params
+    assert iface.quantize() is iface
+    assert iface.coarse.params is params_before

@@ -122,6 +122,39 @@ def save_lora(path, lora_params) -> None:
         f.write(flax.serialization.msgpack_serialize(payload))
 
 
+def save_wavebeat(path, config, params) -> None:
+    """Native wavebeat (dsTCN) checkpoint: BN already folded at torch->flax
+    conversion time, so this is the fully-baked inference tree."""
+    payload = {
+        "kind": "vampnet_wavebeat",
+        "config": json.dumps(dataclasses.asdict(config)),
+        "params": flax.serialization.to_state_dict(params),
+    }
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(flax.serialization.msgpack_serialize(payload))
+
+
+def load_wavebeat(path):
+    """Load a wavebeat checkpoint (.vtpu native or Lightning .pth/.ckpt)."""
+    from .wavebeat import DsTCNBlockConfig, DsTCNConfig
+
+    payload = _load_native(path)
+    if payload is not None:
+        assert payload["kind"] == "vampnet_wavebeat", f"not a wavebeat checkpoint: {path}"
+        d = json.loads(payload["config"])
+        cfg = DsTCNConfig(
+            sample_rate=d["sample_rate"],
+            noutputs=d["noutputs"],
+            blocks=tuple(DsTCNBlockConfig(**b) for b in d["blocks"]),
+        )
+        return cfg, _to_jnp(payload["params"])
+    from .wavebeat import dstcn_from_torch_checkpoint
+
+    return dstcn_from_torch_checkpoint(path)
+
+
 def load_codec(path) -> Tuple[CodecConfig, Any]:
     payload = _load_native(path)
     if payload is not None:

@@ -207,11 +207,18 @@ class Interface:
 
         codec_path = download_codec()
         coarse_path, c2f_path = download_default()
-        wavebeat = MODELS_DIR / "wavebeat.pth"
+        wavebeat = next(
+            (
+                p
+                for p in (MODELS_DIR / "wavebeat.vtpu", MODELS_DIR / "wavebeat.pth")
+                if p.exists()
+            ),
+            None,
+        )
         return cls(
             coarse_ckpt=coarse_path, coarse2fine_ckpt=c2f_path,
             codec_ckpt=codec_path,
-            wavebeat_ckpt=str(wavebeat) if wavebeat.exists() else None,
+            wavebeat_ckpt=str(wavebeat) if wavebeat is not None else None,
         )
 
     @classmethod
@@ -310,6 +317,10 @@ class Interface:
 
         from .modules.quantize import quantize_lm_params
 
+        if self.coarse.config.quantization == "int8":
+            # idempotent: re-quantizing an int8 tree would run the quantizer
+            # over kernel_q + scales and corrupt the params
+            return self
         for name in ("coarse", "c2f"):
             lm = getattr(self, name)
             if lm is None:

@@ -276,7 +276,6 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
     """Single-pass forward pallas_call on padded (bh, tp, dp) arrays."""
     bh, tp, dp = qp.shape
-    per_row = bias_p.shape[0] == bh and h != bh
     bias_index = (
         (lambda i, j: (i, j, 0)) if bias_p.shape[0] == bh
         else (lambda i, j: (i % h, j, 0))
@@ -398,6 +397,47 @@ def _attention_core_bwd(scale, block_q, h, interpret, res, do):
     return dq, dk, dv, dbias
 
 
+# scoped-VMEM budget for the whole-seq split-backward programs: the raised
+# 64 MB CompilerParams limit minus slop for whatever the fusion context adds
+# (CLAUDE.md: Mosaic scoped-VMEM pressure is fusion-context-dependent)
+_BWD_WHOLESEQ_VMEM_BUDGET = 48 * 1024 * 1024
+# batch-scaled staging headroom: whole-seq programs stage fp32 score-sized
+# buffers per (batch, head); calibrated to the measured points — b=8 x 20
+# heads x tp=896 (514 MB) trains, b=16 (1.03 GB) OOMs HBM at coarse scale
+_BWD_WHOLESEQ_HBM_BUDGET = 768 * 1024 * 1024
+
+
+def _split_bwd_vmem_bytes(block_q: int, tp: int, dp: int, in_bytes: int) -> int:
+    """Per-program VMEM residency estimate for the split backward kernels
+    (the dq/dbias kernel dominates: its block set plus the fp32
+    (block_q, tp) temps the body materializes — s, p, dp, ds). I/O blocks
+    are counted twice for Mosaic's double buffering."""
+    blocks = (
+        3 * block_q * dp * in_bytes  # q, do, dq
+        + 2 * tp * dp * in_bytes  # k, v
+        + block_q * tp * 4  # bias block
+        + 2 * block_q * 4  # lse, delta
+        + 2 * tp * dp * 4  # dk/dv accumulators
+        + tp * tp * 4  # dbias output block
+    )
+    temps = 4 * block_q * tp * 4
+    return 2 * blocks + temps
+
+
+def _split_bwd_block_q(block_q: int, bh: int, tp: int, dp: int, in_bytes: int) -> int:
+    """Resolve the backward q-block size: whole-sequence blocks are the fast
+    path (train step 207 -> 177.6 ms at b=8, docs/PERF.md) but must fit the
+    scoped-VMEM budget AND the chip's HBM staging headroom at the given
+    batch*heads; otherwise fall back to the measured-working 128-row blocks."""
+    if block_q < tp:
+        return block_q
+    if _split_bwd_vmem_bytes(block_q, tp, dp, in_bytes) > _BWD_WHOLESEQ_VMEM_BUDGET:
+        return 128
+    if bh * tp * tp * 4 > _BWD_WHOLESEQ_HBM_BUDGET:
+        return 128
+    return block_q
+
+
 def _attention_core_bwd_split(
     qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
 ):
@@ -407,13 +447,7 @@ def _attention_core_bwd_split(
     (b*h, t, t) write + XLA reduce)."""
     bh, tp, dp = qp.shape
     b = bh // h
-    if block_q >= tp and bh > 160:
-        # whole-sequence backward blocks are the fast path (train step
-        # 207 -> 177.6 ms at b=8), but on larger grids they overflow the
-        # 16 MB scoped-VMEM limit / the chip's HBM headroom (observed at
-        # b=16 coarse training: scoped 18.7M, then HBM +199M). Fall back
-        # to 128-row blocks there — the measured-working large-batch shape.
-        block_q = 128
+    block_q = _split_bwd_block_q(block_q, bh, tp, dp, qp.dtype.itemsize)
     n_qb = tp // block_q
 
     dk, dv = pl.pallas_call(
@@ -447,6 +481,11 @@ def _attention_core_bwd_split(
                              memory_space=pltpu.VMEM),
             ),
         ),
+        # same raised scoped-VMEM limit as the dq/dbias kernel below: this
+        # kernel's whole-seq resident set ((t, t) temps + streamed k/v) can
+        # also cross Mosaic's conservative 16 MB default depending on the
+        # fusion context (remat, batch), far below the chip's 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, bias_p, lse, do, delta)
 

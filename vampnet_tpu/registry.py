@@ -46,17 +46,33 @@ def _hub_download(repo_id: str, filename: str, local_path: Path) -> str:
         ) from e
 
 
+def _prefer_native(local_pth: Path) -> Path | None:
+    """Weight-day converted checkpoints (`scripts/convert_reference.py`) sit
+    next to the torch originals as `.vtpu`; always load those when present
+    (no torch dependency, no conversion cost on load)."""
+    native = local_pth.with_suffix(".vtpu")
+    return native if native.exists() else None
+
+
 def download_codec(repo_id: str | None = None) -> str:
+    native = _prefer_native(MODELS_DIR / "codec.pth")
+    if native is not None:
+        return str(native)
     repo_id = repo_id or _default_repo()
     return _hub_download(repo_id, "codec.pth", MODELS_DIR / "codec.pth")
 
 
 def download_default(repo_id: str | None = None) -> Tuple[str, str]:
-    repo_id = repo_id or _default_repo()
     paths = []
     for filename in ["coarse.pth", "c2f.pth", "wavebeat.pth"]:
+        native = _prefer_native(MODELS_DIR / filename)
+        if native is not None:
+            paths.append(str(native))
+            continue
         try:
-            paths.append(_hub_download(repo_id, filename, MODELS_DIR / filename))
+            paths.append(
+                _hub_download(repo_id or _default_repo(), filename, MODELS_DIR / filename)
+            )
         except FileNotFoundError:
             if filename == "wavebeat.pth":  # optional, beat masks degrade gracefully
                 paths.append(None)
@@ -66,11 +82,16 @@ def download_default(repo_id: str | None = None) -> Tuple[str, str]:
 
 
 def download_finetuned(name: str, repo_id: str | None = None) -> Tuple[str, str]:
-    repo_id = repo_id or _default_repo()
     paths = []
     for filename in ["coarse.pth", "c2f.pth"]:
         local = MODELS_DIR / "loras" / name / filename
-        paths.append(_hub_download(repo_id, f"loras/{name}/{filename}", local))
+        native = _prefer_native(local)
+        if native is not None:
+            paths.append(str(native))
+            continue
+        paths.append(
+            _hub_download(repo_id or _default_repo(), f"loras/{name}/{filename}", local)
+        )
     return paths[0], paths[1]
 
 

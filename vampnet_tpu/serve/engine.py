@@ -208,8 +208,22 @@ class VampEngine:
                         if not fut.done():
                             fut.set_exception(RuntimeError(f"{e}\n{tb}"))
                     continue
-                # blocks when pipeline_depth batches are already in flight
-                self._inflight.put((out, items, lens))
+                # blocks when pipeline_depth batches are already in flight;
+                # poll _stop while waiting so a close() with a wedged
+                # collector can't strand this batch in the queue AFTER the
+                # drain loop ran (its futures would never resolve)
+                while True:
+                    try:
+                        self._inflight.put((out, items, lens), timeout=0.5)
+                        break
+                    except queue.Full:
+                        if self._stop.is_set():
+                            for _req, fut in items:
+                                if not fut.done():
+                                    fut.set_exception(
+                                        RuntimeError("engine closed during dispatch")
+                                    )
+                            break
 
     def _collect_loop(self):
         """Sync dispatched batches back to the host and resolve futures.

@@ -252,7 +252,10 @@ class WaveBeatModel:
 
     @classmethod
     def from_checkpoint(cls, path) -> "WaveBeatModel":
-        cfg, params = dstcn_from_torch_checkpoint(path)
+        # native .vtpu (weight-day converted) or Lightning torch checkpoint
+        from .checkpoints import load_wavebeat
+
+        cfg, params = load_wavebeat(path)
         return cls(cfg, params)
 
     def activations(self, samples: np.ndarray, sr: int) -> np.ndarray:
