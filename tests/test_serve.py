@@ -290,6 +290,93 @@ def test_tt_telephone_step(interface):
     assert not st.recording_locked
 
 
+def test_tt_render_frame_states():
+    """The ported terminal UI (reference tt.py:421-530 draw_looper) as a pure
+    frame: assert the rendered text for known States."""
+    from vampnet_tpu.serve.token_telephone import (
+        UI_COLS,
+        UI_ROWS,
+        State,
+        render_frame,
+    )
+
+    st = State(sample_rate=8000, duration=1.0)
+    st.rms_db = -20.0
+
+    rows = render_frame(st)
+    assert len(rows) == UI_ROWS and all(len(r) == UI_COLS for r in rows)
+    frame = "\n".join(rows)
+    assert "token telephone" in rows[1]
+    assert "make a sound" in frame and "record" in frame
+    assert "-20.0dB" in frame
+    # rms -20 dB crosses the -25 dB trigger: bar shows '#' above threshold
+    assert "#" in "".join(r[3] for r in rows)
+    # timeline with playhead at the left edge
+    assert rows[UI_ROWS - 1].strip().startswith("|v")
+    # idle channel badges
+    assert ". 1 ." in frame and ". 4 ." in frame
+
+    # playhead advances with pos
+    st.pos = st.loopbuf.shape[1] // 2
+    mid_frame = render_frame(st)[UI_ROWS - 1]
+    assert mid_frame.index("v") > UI_COLS // 3
+
+    # recording state
+    st.recording = True
+    st.rec_time = 0.25
+    frame = "\n".join(render_frame(st))
+    assert "recording" in frame and "0.8s left" in frame
+
+    # locked state: countdown until the visitor's channel comes around again
+    st.recording = False
+    st.recording_locked = True
+    st.input_channel, st.tt_cur_ch, st.pos = 2, 0, 0
+    st.token_telephone_processing = True
+    frame = "\n".join(render_frame(st))
+    assert "please wait" in frame and "3.0s" in frame and "for your turn :)" in frame
+    # the active channel badge (tt_cur_ch=0 -> badge "1") is highlighted
+    assert "# 1 #" in frame and ". 2 ." in frame
+
+
+def test_tt_audio_callback_headless():
+    """Drive run()'s stream callback (make_audio_callback) with synthetic
+    int16 buffers — the full record->release->input_ready path with no
+    sounddevice/hardware (reference tt.py:533-571)."""
+    from vampnet_tpu.serve.token_telephone import State, make_audio_callback
+
+    st = State(sample_rate=8000, blocksize=64, duration=0.5, hold_seconds=0.02)
+    released = []
+    cb = make_audio_callback(st, on_release_callback=lambda s: released.append(True))
+
+    frames = 64
+    out = np.zeros((frames, st.num_channels), np.int16)
+
+    # silence passes through untouched and does not trigger
+    cb(np.zeros((frames, st.num_channels), np.int16), out, frames, None, None)
+    assert not st.recording and not np.any(out)
+
+    # loud input triggers recording and is mixed into looper_in
+    rng = np.random.default_rng(0)
+    loud = (rng.normal(0, 0.4, (frames, st.num_channels)) * 32767 * 0.5).astype(
+        np.int16
+    )
+    cb(loud, out, frames, None, None)
+    assert st.recording
+    assert np.abs(st.looper_in).sum() > 0
+
+    # quiet (but nonzero) input starts the hold; after hold expires -> release
+    quiet = np.ones((frames, st.num_channels), np.int16)
+    cb(quiet, out, frames, None, None)
+    time.sleep(0.03)
+    cb(quiet, out, frames, None, None)
+    assert released and st.input_ready and not st.recording
+
+    # playback: the loop buffer reaches outdata as int16
+    st.loopbuf[:, :] = 0.25
+    cb(quiet, out, frames, None, None)
+    assert np.all(np.abs(out.astype(np.int32) - int(0.25 * 32767)) <= 1)
+
+
 def test_build_demo_wiring_with_mock_gradio(interface, monkeypatch):
     """Execute the gradio UI construction with a mock module: catches runtime
     errors in the wiring and verifies the named API endpoints exist."""

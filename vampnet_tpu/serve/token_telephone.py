@@ -218,10 +218,144 @@ def do_token_telephone(st: State, interface, stop_event: Optional[threading.Even
     st.token_telephone_processing = False
 
 
-def run(interface, duration: float = 5.0, device=None):  # pragma: no cover
-    """Live entry point: sounddevice callback + background telephone thread
-    (reference tt.py:533-616). Requires the sounddevice package and audio
-    hardware."""
+# ---------------- terminal UI ----------------
+# reference tt.py:389-530 (draw_rms_bar + draw_looper). The frame is produced
+# as pure text rows by `render_frame` (headless-testable); `draw_looper`
+# paints it through blessed when that package is present, else plain prints.
+
+RMS_MIN = -50.0  # reference draw_rms_bar rms scale
+RMS_MAX = -10.0
+UI_COLS = 72
+UI_ROWS = 18
+
+
+def _locked_time_remaining(st: State) -> float:
+    """Seconds until the visitor's turn (reference tt.py:478-486)."""
+    if st.tt_cur_ch < st.input_channel:
+        chs_remaining = st.input_channel - st.tt_cur_ch
+    else:
+        chs_remaining = st.num_telephone_chans - st.tt_cur_ch + st.input_channel
+    return (
+        chs_remaining * st.duration + st.duration - st.pos / st.sample_rate
+    )
+
+
+def render_frame(st: State, width: int = UI_COLS, height: int = UI_ROWS):
+    """The installation screen as `height` rows of `width` chars.
+
+    Plain-text encoding of the reference's colored cells: RMS bar uses '*'
+    below the trigger threshold and '#' above (green/red on_color blocks in
+    the reference), the active telephone channel badge is framed with '#'
+    (random colors), idle ones with '.' (gray)."""
+    grid = [[" "] * width for _ in range(height)]
+
+    def put(x: int, y: int, s: str):
+        if not 0 <= y < height:
+            return
+        for i, ch in enumerate(s):
+            if 0 <= x + i < width:
+                grid[y][x + i] = ch
+
+    def center(y: int, s: str):
+        put(max(0, (width - len(s)) // 2), y, s)
+
+    # title (reference :440-443)
+    center(1, "token telephone")
+
+    # rms bar (reference draw_rms_bar): vertical meter at the left edge
+    bar_h = height - 3
+    rms = max(st.rms_db, RMS_MIN)
+    rms_block = int((rms - RMS_MIN) / (RMS_MAX - RMS_MIN) * bar_h)
+    threshold_block = (st.trig_threshold_db - RMS_MIN) / (RMS_MAX - RMS_MIN) * bar_h
+    for i in range(min(rms_block, bar_h)):
+        put(3, height - 3 - i, "*" if i < threshold_block else "#")
+    put(0, height - 2, f"{st.rms_db:.1f}dB" if np.isfinite(st.rms_db) else "-inf dB")
+
+    # timeline with playhead (reference :462-467)
+    tl = ["-"] * (width - 12)
+    playhead = int((st.pos / st.loopbuf.shape[1]) * (width - 12))
+    tl[min(playhead, len(tl) - 1)] = "v"
+    put(6, height - 1, "|" + "".join(tl) + "|")
+
+    # center message (reference :470-496)
+    mid = height // 2
+    if st.recording:
+        center(mid - 1, "recording")
+        center(mid, f"{st.duration - st.rec_time:.1f}s left")
+    elif st.recording_locked:
+        center(mid - 1, "please wait")
+        center(mid, f"{_locked_time_remaining(st):.1f}s")
+        center(mid + 1, "for your turn :)")
+    else:
+        center(mid - 1, "make a sound")
+        center(mid, "to")
+        center(mid + 1, "record")
+
+    # channel badges in the four corners (reference :499-530)
+    mx, my = 10, 3
+    locations = {
+        1: (width - mx, height - my),
+        2: (width - mx, 1 + my),
+        3: (mx, 1 + my),
+        4: (mx, height - my),
+    }
+    for i in range(1, 5):
+        x, y = locations[i]
+        active = st.tt_cur_ch == i - 1 and st.token_telephone_processing
+        edge = "#" if active else "."
+        put(x, y - 1, edge * 5)
+        put(x, y, f"{edge} {i} {edge}")
+        put(x, y + 1, edge * 5)
+
+    return ["".join(row) for row in grid]
+
+
+def draw_looper(st: State, term=None, _state={}):  # pragma: no cover - terminal I/O
+    """Paint the frame (reference draw_looper): throttled to one full redraw
+    per 0.3 s like the reference's title/badge refresh; uses blessed when
+    available for in-place painting, else clears and prints."""
+    now = time.time()
+    if now - _state.get("last_draw", 0.0) < 0.3:
+        return
+    _state["last_draw"] = now
+    rows = render_frame(st)
+    if term is not None:
+        for y, row in enumerate(rows):
+            print(term.move_xy(0, y) + row)
+    else:
+        print("\033[2J\033[H" + "\n".join(rows), flush=True)
+
+
+def make_audio_callback(st: State, on_release_callback: Optional[Callable] = None):
+    """The sounddevice stream callback as a pure-numpy closure (reference
+    tt.py:533-571), factored out so tests can drive it with synthetic
+    int16 buffers — no audio hardware or sounddevice import needed.
+
+    indata/outdata are (frames, channels) int16 like the reference's stream
+    (dtype=np.int16); silence passes through untouched (reference :547-551).
+    """
+
+    def callback(indata, outdata, frames, tinfo, status):
+        if status:
+            st.status = str(status)
+        ain = indata.T.astype(np.float32) / np.iinfo(np.int16).max
+        if ain.shape[0] < st.num_channels:
+            ain = np.tile(ain[:1], (st.num_channels, 1))
+        if np.all(ain == 0):
+            outdata[:] = 0
+            return
+        check_if_record(st, ain[st.record_channel], on_release_callback)
+        out = looper_process_block(st, ain)
+        out16 = (np.clip(out, -1.0, 1.0) * np.iinfo(np.int16).max).astype(np.int16)
+        outdata[:] = out16.T[: outdata.shape[0], : outdata.shape[1]]
+
+    return callback
+
+
+def run(interface, duration: float = 5.0, device=None, ui: bool = True):  # pragma: no cover
+    """Live entry point: sounddevice callback + background telephone thread +
+    terminal UI loop (reference tt.py:533-616). Requires the sounddevice
+    package and audio hardware; blessed is optional (plain frames without)."""
     import sounddevice as sd
 
     st = State(duration=duration)
@@ -229,21 +363,33 @@ def run(interface, duration: float = 5.0, device=None):  # pragma: no cover
     threading.Thread(
         target=do_token_telephone, args=(st, interface, stop), daemon=True
     ).start()
+    callback = make_audio_callback(st, on_release_callback=lambda st: None)
 
-    def callback(indata, outdata, frames, tinfo, status):
-        block = indata.T.astype(np.float64)
-        if block.shape[0] < st.num_channels:
-            block = np.tile(block[:1], (st.num_channels, 1))
-        check_if_record(st, block[st.record_channel])
-        out = looper_process_block(st, block)
-        outdata[:] = out.T[:, : outdata.shape[1]].astype(np.float32)
-
-    with sd.Stream(
-        channels=st.num_channels, samplerate=st.sample_rate,
-        blocksize=st.blocksize, callback=callback, device=device,
-    ):
+    term = None
+    if ui:
         try:
-            while True:
-                time.sleep(0.5)
-        except KeyboardInterrupt:
-            stop.set()
+            import blessed
+
+            term = blessed.Terminal()
+        except ImportError:
+            pass
+
+    def _ui_loop():
+        while True:
+            if ui:
+                draw_looper(st, term)
+            time.sleep(0.1)
+
+    stream = sd.Stream(
+        channels=st.num_channels, samplerate=st.sample_rate,
+        blocksize=st.blocksize, dtype=np.int16, callback=callback, device=device,
+    )
+    try:
+        if term is not None:
+            with term.fullscreen(), term.hidden_cursor(), stream:
+                _ui_loop()
+        else:
+            with stream:
+                _ui_loop()
+    except KeyboardInterrupt:
+        stop.set()
