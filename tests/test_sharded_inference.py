@@ -271,3 +271,132 @@ def test_quantize_under_pipeline_unwinds_placement():
     out = _two_stage(iface, z, mask)
     audio = iface.decode(out)  # mixed-slice commits would crash here
     assert np.asarray(audio.samples).shape[0] == 1
+
+
+# ---------------- sequence parallel (ring attention from the product) ----------------
+
+
+def test_sp_chunkfree_vamp_matches_unsharded_whole_seq():
+    """shard(sp=8) + coarse_vamp must equal the same whole-sequence generate
+    on one device (xla attention): the sp machinery — ring attention under
+    shard_map, GSPMD-sharded sampling — changes the placement, not the
+    math. Deterministic regime (tests/test_lockstep_generate.py protocol);
+    ring's online-softmax accumulation order still differs from xla's plain
+    softmax by ~1e-6, which flips argmax at near-ties (~0.2% of positions at
+    this tiny scale), so the gate is overwhelming agreement + exact keeps."""
+    import dataclasses
+
+    from vampnet_tpu.sampling import generate as _generate
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    # fp32 compute: bit-stable argmax across attention impls
+    cfg = dataclasses.replace(COARSE_CFG, compute_dtype="float32")
+    model = VampNetLM(cfg)
+    t = 2048  # >> the trained-window sizes; 256 tokens/device on the mesh
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 32, (1, 2, t)), jnp.int32)
+    cbs = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 4))
+    params = model.init(
+        jax.random.PRNGKey(1), codes, cbs, method="forward_codes"
+    )["params"]
+    mask = jnp.asarray((rng.random((1, 2, t)) < 0.8).astype(np.int32))
+
+    det = dict(
+        temperature=1.0, mask_temperature=0.0, typical_filtering=False,
+        sample_cutoff=-1.0, sampler_impl="xla",
+    )
+
+    # single-device whole-sequence reference (no chunking, xla attention)
+    def forward(zm, c=None, cm=None):
+        return model.apply({"params": params}, zm, cbs, method="forward_codes")
+
+    ref = np.asarray(
+        _generate(
+            forward, jax.random.PRNGKey(0), codes, mask,
+            mask_token=cfg.mask_token, sampling_steps=4, **det,
+        )
+    )
+
+    # product path: Interface.shard(sp=8) -> chunk-free coarse_vamp
+    codec = LAC(CODEC_CFG)
+    audio = jnp.zeros((1, CODEC_CFG.hop_length * 4, 1))
+    codec_params = codec.init(jax.random.PRNGKey(0), audio)["params"]
+    iface = Interface.from_modules(
+        codec_cfg=CODEC_CFG, codec_params=codec_params,
+        coarse_cfg=cfg, coarse_params=params, coarse_chunk_size_s=0.2,
+    )
+    iface._codebooks = cbs  # pin the LM tables used by the reference run
+    iface.shard(sp=8)
+    assert iface.coarse.config.attention_impl == "ring"
+    out = np.asarray(
+        iface.coarse_vamp(codes, mask, seed=0, _sampling_steps=4, **det)
+    )
+    assert out.shape == ref.shape
+    agree = (out == ref).mean()
+    assert agree > 0.99, f"only {agree:.4f} of tokens agree under sp"
+    keep = np.asarray(mask) == 0
+    np.testing.assert_array_equal(out[keep], np.asarray(codes)[keep])
+
+    # chunked=True still forces the windowed path on the same interface
+    windowed = np.asarray(
+        iface.coarse_vamp(
+            codes, mask, seed=0, _sampling_steps=4, chunked=True, **det
+        )
+    )
+    assert windowed.shape == ref.shape
+    assert not np.array_equal(windowed, ref)  # windows see less context
+
+
+def test_sp_vamp_public_api_end_to_end():
+    """Full vamp() through shard(sp=8): coarse goes chunk-free, c2f stays
+    windowed; kept (unmasked) positions survive, output is in-vocab."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    iface = _iface()
+    iface.shard(sp=8)
+    z = iface.encode(_sig())
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    out = np.asarray(iface.vamp(z, mask, seed=3, _sampling_steps=3))
+    assert out.shape == z.shape
+    keep = np.asarray(mask) == 0
+    np.testing.assert_array_equal(out[keep], np.asarray(z)[keep])
+    assert (out >= 0).all() and (out < 32).all()
+
+
+def test_vamp_microbatched_grouping_invariance():
+    """Within-request pipeline microbatching (VERDICT r2 item 7): streaming a
+    long request through coarse->c2f in groups must produce EXACTLY the
+    tokens of the one-shot run — per-chunk RNG folds global chunk indices
+    (row_key_offset), so grouping changes scheduling, never output. Group
+    length (2 coarse chunks = 100 tok) is a multiple of the c2f chunk (25),
+    so the fine stage windows identically too."""
+    iface = _iface_two_stage()
+    # 8 coarse chunks of audio
+    t_samples = CODEC_CFG.hop_length * 50 * 8
+    tt = np.arange(t_samples) / 8000
+    sig = AudioSignal(
+        (0.5 * np.sin(2 * np.pi * 220 * tt)).astype(np.float32)[None, None, :], 8000
+    )
+    z = iface.encode(sig)
+    z = jnp.concatenate([z, jnp.zeros_like(z)], axis=1)[:, :4]
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    seed = np.array([1234], np.uint32)  # array seed -> per-row streams
+
+    kw = dict(_sampling_steps=2, seed=seed)
+    one_shot = np.asarray(iface.vamp_microbatched(z, mask, group_chunks=8, **kw))
+    assert one_shot.shape == (1, 4, z.shape[-1])
+
+    for g in (1, 2, 4):
+        grouped = np.asarray(iface.vamp_microbatched(z, mask, group_chunks=g, **kw))
+        np.testing.assert_array_equal(
+            grouped, one_shot, err_msg=f"group_chunks={g} changed tokens"
+        )
+
+    # and over the real pipeline placement (disjoint mesh slices): bitwise
+    # scheduling-only there too
+    iface.shard_pipeline(n_coarse_devices=4)
+    piped = np.asarray(iface.vamp_microbatched(z, mask, group_chunks=2, **kw))
+    agree = (piped == one_shot).mean()
+    assert agree > 0.98, f"only {agree:.3f} of tokens agree under pipeline"

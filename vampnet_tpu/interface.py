@@ -135,6 +135,8 @@ class Interface:
     def _finish_setup(self):
         self._gen_cache: Dict[Any, Any] = {}
         self._pipeline = False  # set by shard_pipeline
+        self._sp_mesh = None  # set by shard(sp=...): sequence-parallel mesh
+        self._coarse_windowed = None  # non-ring twin for chunked=True under sp
         self._codec_params_decode = None  # codec copy on the c2f slice
         tables = self.codec_model.apply(
             {"params": self.codec_params}, method="codebook_tables"
@@ -338,15 +340,22 @@ class Interface:
             self._drop_pipeline()
         return self
 
-    def shard(self, mesh=None, tp: int = 1):
+    def shard(self, mesh=None, tp: int = 1, sp: int = 1):
         """Shard the LMs over a device mesh for multi-chip inference.
 
-        Two axes (SURVEY.md §2.3):
+        Three axes (SURVEY.md §2.3):
           * "tp" — tensor parallel: attention heads / FFN hidden sharded
             Megatron-style (vampnet_tpu.parallel.lm_param_specs); cuts
             single-request latency.
           * "dp" — data parallel: params replicated, request batches sharded;
             multiplies serving throughput (pair with serve.VampEngine).
+          * "sp" — sequence parallel: the coarse LM switches to ring
+            attention (ops/ring_attention.py) and `coarse_vamp` generates the
+            WHOLE sequence in one pass with the time axis sharded over the
+            mesh — chunk-free long context, replacing the reference's 10 s
+            windowing (reference interface.py:397-416) outright. c2f keeps
+            its 3 s windows (it refines locally by construction). sp is
+            exclusive with tp/dp.
 
         GSPMD propagates the layouts through the jitted generate programs —
         no generate-code changes. Compiled programs are dropped so the next
@@ -355,6 +364,10 @@ class Interface:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from .parallel import lm_param_specs, make_mesh
+
+        if sp > 1:
+            assert tp == 1 and mesh is None, "sp is exclusive with tp/dp"
+            return self._shard_sequence(sp)
 
         if mesh is None:
             mesh = make_mesh(tp=tp)
@@ -378,6 +391,44 @@ class Interface:
         self.coarse.mesh = self.coarse.codebooks = None
         if self.c2f is not None:
             self.c2f.mesh = self.c2f.codebooks = None
+        self._gen_cache.clear()
+        return self
+
+    def _shard_sequence(self, sp: int, devices=None):
+        """Set up sequence-parallel (ring-attention) inference: a ("sp",)
+        mesh, the coarse LM rebuilt with attention_impl="ring" (same params —
+        ring is a drop-in attention primitive), params/codebooks replicated.
+        After this, `coarse_vamp` defaults to the chunk-free path; pass
+        chunked=True to force windowing."""
+        import dataclasses
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.mesh import make_sp_mesh
+
+        mesh = make_sp_mesh(n_devices=sp, devices=devices)
+        self._sp_mesh = mesh
+        ring_cfg = dataclasses.replace(
+            self.coarse.config, attention_impl="ring"
+        )
+        ring = _LoadedLM(
+            ring_cfg, self.coarse.params, self.coarse.chunk_size_s,
+            inference_dtype=None,  # params already inference-cast
+        )
+        rep = NamedSharding(mesh, P())
+        ring.params = jax.device_put(ring.params, rep)
+        # chunked=True still works on an sp interface: the windowed path runs
+        # this non-ring twin (same replicated params, regular attention —
+        # chunk shapes aren't divisible by the sp axis)
+        windowed = self.coarse
+        windowed.params = ring.params
+        self._coarse_windowed = windowed
+        self.coarse = ring
+        if self.c2f is not None:
+            self.c2f.params = jax.device_put(self.c2f.params, rep)
+        self.codec_params = jax.device_put(self.codec_params, rep)
+        self._codebooks = jax.device_put(self._codebooks, rep)
+        self._pipeline = False
         self._gen_cache.clear()
         return self
 
@@ -625,7 +676,12 @@ class Interface:
     def _gen_fn(self, which: str, lm: _LoadedLM, **static):
         key = (which, lm.config, tuple(sorted(static.items())))
         if key not in self._gen_cache:
-            self._gen_cache[key] = build_generate_fn(lm.model, **static)
+            sp_mesh = (
+                self._sp_mesh if lm.config.attention_impl == "ring" else None
+            )
+            self._gen_cache[key] = build_generate_fn(
+                lm.model, sp_mesh=sp_mesh, **static
+            )
         return self._gen_cache[key]
 
     def _run_generate(
@@ -646,9 +702,13 @@ class Interface:
         cfg_guidance: Optional[float] = None,
         sampler_impl: str = "auto",
         seed: Optional[int] = None,  # consumed upstream; accepted for parity
+        row_key_offset: Optional[int] = None,  # global index of chunk row 0;
+        # None = ungrouped call (single-chunk batches keep the raw key)
         **_ignored,
     ) -> jnp.ndarray:
-        which = "coarse" if lm is self.coarse else "c2f"
+        # cache-key prefix only (the key also carries lm.config); the
+        # windowed non-ring twin under sp counts as coarse too
+        which = "c2f" if lm is self.c2f else "coarse"
         gen = self._gen_fn(
             which,
             lm,
@@ -672,14 +732,20 @@ class Interface:
 
         from .sampling.sample import keys_are_batched
 
-        if keys_are_batched(key) and key.shape[0] != b_total:
+        if keys_are_batched(key) and (
+            key.shape[0] != b_total or row_key_offset is not None
+        ):
             # chunk rows are laid out chunk-major (row = chunk_i*b + j, see
             # _chunk_fns.pre): give each chunk of a request its own stream by
-            # folding the chunk index into the request's key
+            # folding the GLOBAL chunk index into the request's key. A
+            # nonzero row_key_offset (vamp_microbatched groups) folds even
+            # for a single-chunk group, matching the one-shot run's stream.
             assert b_total % key.shape[0] == 0, (
                 f"per-row keys of size {key.shape[0]} do not divide batch {b_total}"
             )
-            key = _expand_row_keys(key, b_total // key.shape[0])
+            key = _expand_row_keys(
+                key, b_total // key.shape[0], int(row_key_offset or 0)
+            )
 
         def expand(v, default=0.0):
             v = jnp.asarray(default if v is None else v, dtype=jnp.float32)
@@ -755,18 +821,34 @@ class Interface:
         self._gen_cache[key] = (pre, post)
         return (pre, post), n_chunks
 
-    def coarse_vamp(self, z, mask, return_mask=False, gen_fn=None, seed=None, **kwargs):
+    def coarse_vamp(self, z, mask, return_mask=False, gen_fn=None, seed=None,
+                    chunked=None, **kwargs):
         """Vamp the coarse codebooks with windowed chunking **as a batch dim**
-        (reference interface.py:382-452 runs chunks serially on the host)."""
+        (reference interface.py:382-452 runs chunks serially on the host).
+
+        After `shard(sp=N)` the default flips to the CHUNK-FREE path
+        (`chunked=False`): one ring-attention generate over the whole
+        sequence, time axis sharded over the sp mesh — no windows, no seam
+        pinning, global context. `chunked=True` forces windowing even then.
+        """
         z = jnp.asarray(z)
         mask = jnp.asarray(mask)
+        if chunked is None:
+            chunked = self._sp_mesh is None
+        if not chunked:
+            return self._coarse_vamp_unchunked(
+                z, mask, return_mask=return_mask, seed=seed, **kwargs
+            )
         if self._pipeline:
             z, mask = self._stage_put(self.coarse, z, mask)
-        n_coarse = self.coarse.n_codebooks
+        # under shard(sp=...) the windowed path runs the non-ring twin
+        # (chunk shapes don't divide the sp axis; ring buys nothing there)
+        lm = self._coarse_windowed if self._coarse_windowed is not None else self.coarse
+        n_coarse = lm.n_codebooks
         b, _, t = z.shape
-        chunk_len = self.s2t(self.coarse.chunk_size_s)
+        chunk_len = self.s2t(lm.chunk_size_s)
         (pre, post), _ = self._chunk_fns(
-            "coarse", n_coarse, b, t, chunk_len, self.coarse.mask_token, pin_edges=True
+            "coarse", n_coarse, b, t, chunk_len, lm.mask_token, pin_edges=True
         )
         cz_masked, m_chunks = pre(z[:, :n_coarse, :], mask[:, :n_coarse, :].astype(jnp.int32))
 
@@ -777,7 +859,7 @@ class Interface:
             )
         else:
             c_vamp_chunks = self._run_generate(
-                self.coarse, cz_masked, m_chunks, key, **kwargs
+                lm, cz_masked, m_chunks, key, **kwargs
             )
 
         c_vamp = post(c_vamp_chunks)
@@ -787,6 +869,62 @@ class Interface:
 
         if return_mask:
             return c_vamp, post(cz_masked)
+        return c_vamp
+
+    def _coarse_vamp_unchunked(self, z, mask, return_mask=False, seed=None,
+                               **kwargs):
+        """Chunk-free coarse vamp (SP path): the full sequence as ONE
+        generate. Requires shard(sp=N) — the coarse LM runs ring attention
+        under shard_map (sampling/generate.py `sp_mesh`), so per-device
+        memory is O(t/sp) for attention and the (t, t) scores/bias never
+        materialize. Replaces the reference's 10 s windowing + chunk-edge
+        pinning (reference interface.py:397-416) with real global context.
+        """
+        assert self._sp_mesh is not None, (
+            "chunk-free coarse_vamp requires interface.shard(sp=N) first"
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_sp = self._sp_mesh.shape["sp"]
+        n_coarse = self.coarse.n_codebooks
+        b, _, t = z.shape
+        # time shards must be equal; pad to the sp grid (lane-aligned when
+        # long). Padded tail is fully masked and cropped after generation.
+        mult = n_sp * (128 if t >= n_sp * 128 else 1)
+        tp = ((t + mult - 1) // mult) * mult
+        key_pre = ("sp_pre", b, n_coarse, t, tp, self.coarse.mask_token)
+        if key_pre not in self._gen_cache:
+            mask_token = self.coarse.mask_token
+
+            @jax.jit
+            def pre(z, m):
+                zp = jnp.pad(z, ((0, 0), (0, 0), (0, tp - t)))
+                mp = jnp.pad(m, ((0, 0), (0, 0), (0, tp - t)), constant_values=1)
+                return jnp.where(mp.astype(bool), mask_token, zp), mp
+
+            self._gen_cache[key_pre] = pre
+        z_masked, m_p = self._gen_cache[key_pre](
+            z[:, :n_coarse, :], mask[:, :n_coarse, :].astype(jnp.int32)
+        )
+        sh = NamedSharding(self._sp_mesh, P(None, None, "sp"))
+        z_masked = jax.device_put(z_masked, sh)
+        m_p = jax.device_put(m_p, sh)
+
+        key = _seed_key(seed)
+        # the fused Pallas sampler assumes a single-device layout; the xla
+        # sampler is position-wise and GSPMD-shards cleanly over "sp"
+        kwargs.setdefault("sampler_impl", "xla")
+        c_vamp = self._run_generate(self.coarse, z_masked, m_p, key, **kwargs)
+        c_vamp = c_vamp[:, :, :t]
+        if z.shape[1] > n_coarse:
+            c_vamp = jnp.concatenate([c_vamp, z[:, n_coarse:, :]], axis=1)
+        if return_mask:
+            masked_z = jnp.where(
+                mask[:, :n_coarse, :].astype(bool),
+                self.coarse.mask_token,
+                z[:, :n_coarse, :],
+            )
+            return c_vamp, masked_z
         return c_vamp
 
     def coarse_to_fine(self, z, mask=None, return_mask=False, seed=None, **kwargs):
@@ -915,6 +1053,80 @@ class Interface:
         if return_mask:
             return zv, np.asarray(mask_z)
         return zv
+
+    def vamp_microbatched(
+        self,
+        codes,
+        mask,
+        group_chunks: int = 2,
+        seed=None,
+        **kwargs,
+    ):
+        """Two-stage vamp with WITHIN-request pipeline microbatching: a long
+        request's coarse chunks stream through coarse -> c2f in groups of
+        `group_chunks`, so with `shard_pipeline()` group g's c2f (slice B)
+        overlaps group g+1's coarse (slice A) — JAX async dispatch queues
+        both device programs without waiting (reference counterpart: the
+        strictly serial chunk loop, interface.py:522-551).
+
+        Latency model (stage times per group Tc, Tf on disjoint slices,
+        G groups): serial = G*(Tc+Tf); pipelined = Tc + (G-1)*max(Tc,Tf) + Tf
+        -> for the measured coarse:c2f ~3:1 cost ratio on a 3:1 slice split
+        (balanced stages) a long request approaches 2x lower latency. On one
+        mesh the method still works but the device serializes the stages.
+
+        Determinism: per-chunk RNG streams fold the GLOBAL chunk index
+        (`row_key_offset`), so with per-request seed arrays the output is
+        identical for every `group_chunks` — grouping changes scheduling,
+        never tokens. (A scalar seed uses one stream whose draws depend on
+        the batch shape; pass an array seed for grouping-invariance. The c2f
+        stage re-windows each group from its own start, so full-output
+        equality across group sizes additionally needs the group length to
+        be a multiple of the c2f chunk; otherwise only the coarse codebooks
+        are grouping-invariant — the c2f 3 s windows land differently, which
+        is the same arbitrary alignment choice the reference makes.)
+        """
+        z = jnp.asarray(codes)
+        mask = jnp.asarray(mask)
+        b, _, t = z.shape
+        chunk_len = self.s2t(self.coarse.chunk_size_s)
+        glen = group_chunks * chunk_len
+        f_len = self.s2t(self.c2f.chunk_size_s) if self.c2f is not None else 0
+
+        if isinstance(seed, (list, tuple, np.ndarray, jnp.ndarray)) and np.ndim(seed) > 0:
+            seeds_coarse = np.asarray(seed, dtype=np.uint32)
+        else:
+            rng = np.random.default_rng(seed)
+            seeds_coarse = rng.integers(0, 2**31 - 1, size=b).astype(np.uint32)
+        # decorrelate the fine stage per request (same recipe as the engine)
+        seeds_c2f = (seeds_coarse + np.uint32(0x9E3779B9)).astype(np.uint32)
+
+        c2f_kwargs = {
+            k: v for k, v in kwargs.items()
+            if k in ("temperature", "mask_temperature", "typical_mass",
+                     "typical_min_tokens", "sample_cutoff")
+        }
+        outs = []
+        f_off = 0
+        for g0 in range(0, t, glen):
+            g1 = min(t, g0 + glen)
+            zg, mg = z[:, :, g0:g1], mask[:, :, g0:g1]
+            cv = self.coarse_vamp(
+                zg, mg, seed=seeds_coarse,
+                row_key_offset=g0 // chunk_len, chunked=True, **kwargs
+            )
+            if self.c2f is not None:
+                cv = self.coarse_to_fine(
+                    cv, mask=mg, seed=seeds_c2f, row_key_offset=f_off,
+                    typical_filtering=kwargs.get("typical_filtering", True),
+                    _sampling_steps=kwargs.get("c2f_steps", 2),
+                    **c2f_kwargs,
+                )
+                f_off += math.ceil((g1 - g0) / f_len)
+            # no sync: both stage programs are queued; the next group's
+            # coarse dispatches immediately (the pipeline overlap)
+            outs.append(cv)
+        return jnp.concatenate(outs, axis=-1)
 
     def vamp_e2e(
         self,
@@ -1160,12 +1372,15 @@ def _keys_from_seeds(seeds: jnp.ndarray) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("n_rep",))
-def _expand_row_keys(keys: jax.Array, n_rep: int) -> jax.Array:
+def _expand_row_keys(keys: jax.Array, n_rep: int, offset: int = 0) -> jax.Array:
     """(b, ...) per-request keys -> (n_rep*b, ...) per-chunk-row keys with
-    row chunk_i*b + j = fold_in(keys[j], chunk_i)."""
+    row chunk_i*b + j = fold_in(keys[j], offset + chunk_i). `offset` is the
+    GLOBAL index of the first chunk — vamp_microbatched streams a long
+    request group by group, and folding global indices keeps each chunk's
+    stream identical to the ungrouped run."""
     per_chunk = jax.vmap(
         lambda c: jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, c)
-    )(jnp.arange(n_rep))
+    )(offset + jnp.arange(n_rep))
     return per_chunk.reshape((-1,) + keys.shape[1:])
 
 

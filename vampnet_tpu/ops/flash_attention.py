@@ -269,6 +269,60 @@ def _attn_kernel_bwd_dq_dbias(
     ).astype(dq_ref.dtype)
 
 
+def _attn_kernel_bwd_wholeseq(
+    q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+):
+    """Whole-sequence shared-bias backward in ONE pass. Grid (h, batch):
+    every program holds the full (t, t) score block, so dq, dk, dv AND the
+    batch-reduced dbias all come out of a single recompute of s/p — the
+    split pair (_attn_kernel_bwd_dkdv + _attn_kernel_bwd_dq_dbias) computes
+    s and dp twice (7 score-sized matmuls vs this kernel's 5). dbias for
+    head i0 stays resident in VMEM across the inner batch sweep."""
+    i1 = pl.program_id(1)  # batch index (inner loop)
+
+    @pl.when(i1 == 0)
+    def _():
+        dbias_ref[0, :, :] = jnp.zeros_like(dbias_ref[0])
+
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    bias = b_ref[0]  # (t, t)
+    lse = lse_ref[0, 0, :][:, None]
+    do = do_ref[0].astype(jnp.float32)
+    delta = delta_ref[0, 0, :][:, None]
+
+    s = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        * scale
+        + bias
+    )
+    p = jnp.exp(s - lse)
+    dv_ref[0, :, :] = jax.lax.dot_general(
+        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    dp = jax.lax.dot_general(
+        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta)  # dL/d(scores+bias)
+    dbias_ref[0, :, :] += ds
+    ds_scaled = ds * scale
+    dq_ref[0, :, :] = jax.lax.dot_general(
+        ds_scaled, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0, :, :] = jax.lax.dot_general(
+        ds_scaled, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dk_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -438,6 +492,53 @@ def _split_bwd_block_q(block_q: int, bh: int, tp: int, dp: int, in_bytes: int) -
     return block_q
 
 
+def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
+    """pallas_call wrapper for _attn_kernel_bwd_wholeseq: grid (h, batch),
+    dq/dk/dv per (batch, head) program, dbias batch-reduced in VMEM."""
+    bh, tp, dp = qp.shape
+    b = bh // h
+    bh_spec = pl.BlockSpec(
+        (1, tp, dp), lambda i0, i1: (i1 * h + i0, 0, 0), memory_space=pltpu.VMEM
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, tp), lambda i0, i1: (i1 * h + i0, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv, dbias = pl.pallas_call(
+        functools.partial(_attn_kernel_bwd_wholeseq, scale=scale),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((h, tp, tp), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(h, b),
+            in_specs=[
+                bh_spec,  # q
+                bh_spec,  # k
+                bh_spec,  # v
+                pl.BlockSpec((1, tp, tp), lambda i0, i1: (i0, 0, 0),
+                             memory_space=pltpu.VMEM),  # shared bias
+                row_spec,  # lse
+                bh_spec,  # do
+                row_spec,  # delta
+            ],
+            out_specs=(
+                bh_spec,  # dq
+                bh_spec,  # dk
+                bh_spec,  # dv
+                pl.BlockSpec((1, tp, tp), lambda i0, i1: (i0, 0, 0),
+                             memory_space=pltpu.VMEM),  # dbias (batch-resident)
+            ),
+        ),
+        # (t, t) bias + dbias + score temps put the resident set past the
+        # 16 MB default scoped limit; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
+        interpret=interpret,
+    )(qp, kp, vp, bias_p, lse, do, delta)
+    return dq, dk.astype(kp.dtype), dv.astype(vp.dtype), dbias.astype(bias_p.dtype)
+
+
 def _attention_core_bwd_split(
     qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
 ):
@@ -448,6 +549,12 @@ def _attention_core_bwd_split(
     bh, tp, dp = qp.shape
     b = bh // h
     block_q = _split_bwd_block_q(block_q, bh, tp, dp, qp.dtype.itemsize)
+    if block_q >= tp:
+        # whole-seq: one single-pass kernel (5 score-sized matmuls) instead
+        # of the dkdv + dq/dbias pair (7) — measured on the b=8 train step
+        return _bwd_wholeseq_call(
+            qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret
+        )
     n_qb = tp // block_q
 
     dk, dv = pl.pallas_call(

@@ -36,6 +36,21 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_sp_mesh(
+    n_devices: Optional[int] = None,
+    devices=None,
+) -> Mesh:
+    """A ("sp",) mesh for sequence-parallel (ring-attention) inference:
+    the time axis shards over it and k/v shards ride the ICI ring
+    (ops/ring_attention.py). Kept separate from the ("dp","tp") compute mesh —
+    SP trades all chips for one long-context request."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("sp",))
+
+
 def multihost_init():  # pragma: no cover - requires a real multi-host slice
     """`jax.distributed.initialize()` for multi-host DCN training
     (reference counterpart: torchrun process-per-GPU launch)."""

@@ -283,6 +283,7 @@ def build_generate_fn(
     use_top_p: bool = False,
     cfg_guidance: Optional[float] = None,
     sampler_impl: str = "auto",
+    sp_mesh=None,
     donate: bool = True,
 ) -> Callable:
     """Build a jitted generate for a VampNetLM `model`.
@@ -292,15 +293,29 @@ def build_generate_fn(
     (batch, seq) shape; all sampling hyperparameters that users sweep at
     request time (temperature, mask_temperature, top_p, sample_cutoff) are
     traced so sweeps don't recompile (BASELINE.json config 3).
+
+    With `sp_mesh` (a ("sp",) mesh; requires attention_impl="ring"), the
+    forward runs under shard_map with the TIME axis sharded over the mesh —
+    chunk-free long context where k/v shards ride the ICI ring
+    (ops/ring_attention.py) and the full (t, t) score matrix never exists.
+    The sampling ops around the forward stay in plain jit: they are
+    position-wise except the confidence sort, which GSPMD gathers (t*c fp32
+    per row — trivial traffic next to attention).
     """
     ncc = model.config.n_conditioning_codebooks
+    if sp_mesh is not None:
+        assert model.config.attention_impl == "ring", (
+            "sp_mesh requires attention_impl='ring'"
+        )
 
     @functools.partial(jax.jit, static_argnames=())
     def fn(params, codebooks, key, start_tokens, mask, temperature,
            mask_temperature, top_p, sample_cutoff, ctrls=None, ctrl_masks=None,
            cfg_scale=3.0):
         # T5 bias depends only on seq length: build it ONCE here, not once
-        # per MaskGIT step inside the fori_loop (~2 ms/step at coarse shapes)
+        # per MaskGIT step inside the fori_loop (~2 ms/step at coarse shapes).
+        # The ring path never materializes the (t, t) bias — layer 0's bucket
+        # TABLE is what rides shard_map (ops/ring_attention.py bias_block).
         bias = None
         if model.config.attention_impl != "ring":
             from ..modules.transformer import position_bias_from_params
@@ -309,11 +324,29 @@ def build_generate_fn(
                 params, model.config, start_tokens.shape[-1]
             )
 
-        def forward(z_masked, c=None, cm=None):
-            return model.apply(
-                {"params": params}, z_masked, codebooks, c, cm,
-                method="forward_codes", position_bias=bias,
-            )
+        if sp_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            def forward(z_masked, c=None, cm=None):
+                assert c is None, "ctrls are not supported under sp sharding"
+
+                def inner(p, z, cb):
+                    return model.apply(
+                        {"params": p}, z, cb, method="forward_codes"
+                    )
+
+                return jax.shard_map(
+                    inner,
+                    mesh=sp_mesh,
+                    in_specs=(P(), P(None, None, "sp"), P()),
+                    out_specs=P(None, "sp"),
+                )(params, z_masked, codebooks)
+        else:
+            def forward(z_masked, c=None, cm=None):
+                return model.apply(
+                    {"params": params}, z_masked, codebooks, c, cm,
+                    method="forward_codes", position_bias=bias,
+                )
 
         return generate(
             forward,
