@@ -495,3 +495,131 @@ def test_engine_dispatch_error_propagates(interface):
         assert out.shape == codes.shape
     finally:
         eng.close()
+
+
+# ---------------- stdlib web app (serve/webapp.py) ----------------
+
+
+@pytest.fixture(scope="module")
+def web_server(interface):
+    from vampnet_tpu.serve.webapp import make_server
+
+    server = make_server(interface, port=0)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    yield server.server_address
+    server.shutdown()
+    server.server_close()
+    th.join(timeout=10)
+
+
+def _http(addr, method, path, body=None, ctype=None):
+    import http.client
+
+    conn = http.client.HTTPConnection(*addr, timeout=300)
+    headers = {"Content-Type": ctype} if ctype else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    status, resp_ctype = resp.status, resp.getheader("Content-Type")
+    conn.close()
+    return status, resp_ctype, data
+
+
+def test_webapp_health_presets_index(web_server):
+    import json as _json
+
+    status, ctype, data = _http(web_server, "GET", "/health")
+    assert status == 200 and _json.loads(data)["status"] == "ok"
+
+    status, _, data = _http(web_server, "GET", "/presets")
+    assert status == 200
+    presets = _json.loads(data)
+    assert "medium variation" in presets
+
+    status, ctype, data = _http(web_server, "GET", "/")
+    assert status == 200 and ctype.startswith("text/html")
+    assert b"/api/vamp" in data
+
+    status, _, _ = _http(web_server, "GET", "/nope")
+    assert status == 404
+
+
+def test_webapp_vamp_wav_body_roundtrip(web_server):
+    import json as _json
+
+    from vampnet_tpu.serve.webapp import audio_to_wav_bytes, wav_bytes_to_audio
+
+    sig = _sig(0.3)
+    wav = audio_to_wav_bytes(sig.sample_rate, sig.samples[0, 0])
+    status, ctype, data = _http(
+        web_server, "POST",
+        "/api/vamp?preset=medium+variation&sampling_steps=2&seed=5&batch_size=2",
+        body=wav, ctype="audio/wav",
+    )
+    assert status == 200, data
+    out = _json.loads(data)
+    assert out["seed"] == 5 and len(out["variations"]) == 2
+    import base64 as _b64
+
+    out_sr, out_wav = wav_bytes_to_audio(_b64.b64decode(out["variations"][0]))
+    assert out_sr == out["sample_rate"] and len(out_wav) > 0
+
+    # format=wav returns raw audio
+    status, ctype, data = _http(
+        web_server, "POST", "/api/vamp?sampling_steps=2&format=wav",
+        body=wav, ctype="audio/wav",
+    )
+    assert status == 200 and ctype == "audio/wav"
+    out_sr2, out_wav2 = wav_bytes_to_audio(data)
+    assert len(out_wav2) > 0
+
+
+def test_webapp_vamp_json_body(web_server):
+    import base64 as _b64
+    import json as _json
+
+    from vampnet_tpu.serve.webapp import audio_to_wav_bytes
+
+    sig = _sig(0.25)
+    payload = _json.dumps({
+        "audio_b64": _b64.b64encode(
+            audio_to_wav_bytes(sig.sample_rate, sig.samples[0, 0])
+        ).decode(),
+        "sample_rate": sig.sample_rate,
+        "sampling_steps": 2,
+        "seed": 9,
+        "top_p": 0,
+    }).encode()
+    status, _, data = _http(
+        web_server, "POST", "/api/vamp", body=payload, ctype="application/json"
+    )
+    assert status == 200, data
+    out = _json.loads(data)
+    assert out["seed"] == 9 and len(out["variations"]) == 2
+
+
+def test_webapp_errors(web_server):
+    import json as _json
+
+    from vampnet_tpu.serve.webapp import audio_to_wav_bytes
+
+    sig = _sig(0.2)
+    wav = audio_to_wav_bytes(sig.sample_rate, sig.samples[0, 0])
+    # unknown knob -> 400
+    status, _, data = _http(
+        web_server, "POST", "/api/vamp?bogus_knob=1", body=wav, ctype="audio/wav"
+    )
+    assert status == 400 and "bogus_knob" in _json.loads(data)["error"]
+    # unknown preset -> 400
+    status, _, _ = _http(
+        web_server, "POST", "/api/vamp?preset=nope", body=wav, ctype="audio/wav"
+    )
+    assert status == 400
+    # garbage body -> 500, server keeps serving
+    status, _, _ = _http(
+        web_server, "POST", "/api/vamp", body=b"not a wav", ctype="audio/wav"
+    )
+    assert status == 500
+    status, _, _ = _http(web_server, "GET", "/health")
+    assert status == 200

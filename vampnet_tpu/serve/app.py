@@ -302,6 +302,14 @@ def main():  # pragma: no cover - entry point
     from ..interface import Interface
 
     interface = Interface.default()
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        # first-party fallback: same vamp API + minimal UI, stdlib only
+        from .webapp import serve_forever
+
+        serve_forever(interface)
+        return
     demo = build_demo(interface)
     demo.queue().launch(share=False)
 
