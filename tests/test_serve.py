@@ -623,3 +623,53 @@ def test_webapp_errors(web_server):
     assert status == 500
     status, _, _ = _http(web_server, "GET", "/health")
     assert status == 200
+
+
+def test_webapp_engine_concurrent(interface):
+    """Engine-backed server: concurrent HTTP clients' generates merge into
+    shared device batches (stats prove batching); unsupported knobs fall
+    back to the locked vamp_core path."""
+    import base64 as _b64
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from vampnet_tpu.serve import VampEngine
+    from vampnet_tpu.serve.webapp import audio_to_wav_bytes, make_server
+
+    eng = VampEngine(interface, max_batch=8, max_wait_ms=50.0)
+    server = make_server(interface, port=0, engine=eng)
+    th = threading.Thread(target=server.serve_forever, daemon=True)
+    th.start()
+    try:
+        sig = _sig(0.3)
+        wav = audio_to_wav_bytes(sig.sample_rate, sig.samples[0, 0])
+
+        def call(seed, extra=""):
+            status, _, data = _http(
+                server.server_address, "POST",
+                f"/api/vamp?sampling_steps=2&seed={seed}&batch_size=1{extra}",
+                body=wav, ctype="audio/wav",
+            )
+            assert status == 200, data
+            return _json.loads(data)
+
+        with ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(call, [11, 12, 13, 14]))
+        assert all(len(o["variations"]) == 1 for o in outs)
+        assert {o["seed"] for o in outs} == {11, 12, 13, 14}
+        assert eng.stats["requests"] >= 4
+        assert eng.stats["batched_requests"] > 0
+
+        # deterministic: same seed through the engine path twice
+        a, b = call(21), call(21)
+        assert a["variations"] == b["variations"]
+
+        # unsupported knob falls back to vamp_core (still succeeds)
+        out = call(31, extra="&stretch_factor=2")
+        assert len(out["variations"]) == 1
+        _b64.b64decode(out["variations"][0])
+    finally:
+        server.shutdown()
+        server.server_close()
+        th.join(timeout=10)
+        eng.close()

@@ -83,6 +83,87 @@ def audio_to_wav_bytes(sr: int, samples: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+def vamp_core_engine(interface, engine, input_audio, **kwargs):
+    """vamp_core's pipeline with the generate stage routed through a
+    VampEngine: encode/mask/decode run inline, but the MaskGIT generates are
+    engine requests — one per variation — so CONCURRENT HTTP clients (and a
+    request's own variations) merge into shared device batches instead of
+    serializing. Knobs the engine doesn't model (stretch, feedback, model
+    switching) make the caller fall back to plain vamp_core."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from .. import mask as pmask
+    from ..audio import AudioSignal
+    from ..audio.dsp import pitch_shift
+    from .engine import VampRequest
+
+    t0 = _time.time()
+    seed = int(kwargs.pop("seed", 0))
+    _seed = seed if seed > 0 else int(np.random.randint(0, 2**31 - 1))
+    batch_size = int(kwargs.pop("batch_size", 2))
+    sr, samples = input_audio
+    samples = np.asarray(samples)
+    if np.issubdtype(samples.dtype, np.integer):
+        samples = samples / np.iinfo(samples.dtype).max
+    sig = AudioSignal(samples.astype(np.float32), sr).to_mono()
+    loudness = sig.loudness()
+    psa = int(kwargs.pop("pitch_shift_amt", 0))
+    if psa:
+        sig = pitch_shift(sig, psa)
+
+    n_mask_codebooks = int(kwargs.pop("n_mask_codebooks", 3))
+    codes = interface.encode(sig)
+    mask = interface.build_mask(
+        codes,
+        sig=sig,
+        periodic_prompt=int(kwargs.pop("periodic_p", 7)),
+        onset_mask_width=int(kwargs.pop("onset_mask_width", 0)),
+        _dropout=float(kwargs.pop("dropout", 0.0)),
+        upper_codebook_mask=n_mask_codebooks,
+        seed=_seed,
+    )
+    beat_mask_ms = int(kwargs.pop("beat_mask_ms", 0))
+    if beat_mask_ms > 0 and interface.beat_tracker is not None:
+        mask = pmask.mask_and(
+            mask, interface.make_beat_mask(sig, after_beat_s=beat_mask_ms / 1000.0)
+        )
+        mask = pmask.codebook_mask(mask, n_mask_codebooks)
+
+    top_p = kwargs.pop("top_p", None)
+    if top_p is not None and top_p <= 0:
+        top_p = None
+    futures = [
+        engine.submit(VampRequest(
+            codes=np.asarray(codes), mask=np.asarray(mask),
+            seed=_seed + i,
+            temperature=float(kwargs.get("sampletemp", 1.0)),
+            top_p=top_p,
+            sample_cutoff=float(kwargs.get("sample_cutoff", 1.0)),
+            sampling_steps=int(kwargs.get("sampling_steps", 36)),
+            typical_filtering=bool(kwargs.get("typical_filtering", True)),
+            typical_mass=float(kwargs.get("typical_mass", 0.15)),
+            typical_min_tokens=int(kwargs.get("typical_min_tokens", 64)),
+        ))
+        for i in range(batch_size)
+    ]
+    zv = jnp.concatenate([jnp.asarray(f.result()) for f in futures], axis=0)
+    out = interface.decode(zv).normalize(float(loudness[0]))
+    from .app import VampResult, to_output
+
+    return VampResult(
+        variations=[to_output(out, i) for i in range(out.batch_size)],
+        mask=np.asarray(mask),
+        seed=_seed,
+        wall_time_s=_time.time() - t0,
+    )
+
+
+# knobs vamp_core supports but vamp_core_engine cannot route to the engine
+_ENGINE_UNSUPPORTED = ("stretch_factor", "num_feedback_steps", "model_choice")
+
+
 _INDEX_HTML = """<!doctype html>
 <html><head><title>vampnet-tpu</title><style>
 body {{ font-family: sans-serif; max-width: 640px; margin: 2em auto; }}
@@ -199,12 +280,27 @@ class _Handler(BaseHTTPRequestHandler):
             if kwargs.get("top_p", None) in (0, 0.0):
                 kwargs["top_p"] = None
 
-            with self.server.lock:  # type: ignore[attr-defined]
-                res = vamp_core(
-                    self.server.interface,  # type: ignore[attr-defined]
-                    (sr, samples),
-                    **kwargs,
+            engine = getattr(self.server, "engine", None)
+            use_engine = (
+                engine is not None
+                and int(kwargs.get("stretch_factor", 1)) == 1
+                and int(kwargs.get("num_feedback_steps", 1)) == 1
+                and kwargs.get("model_choice") in (None, "default")
+            )
+            if use_engine:
+                # engine requests batch across concurrent clients — no lock
+                res = vamp_core_engine(
+                    self.server.interface, engine, (sr, samples),  # type: ignore[attr-defined]
+                    **{k: v for k, v in kwargs.items()
+                       if k not in _ENGINE_UNSUPPORTED},
                 )
+            else:
+                with self.server.lock:  # type: ignore[attr-defined]
+                    res = vamp_core(
+                        self.server.interface,  # type: ignore[attr-defined]
+                        (sr, samples),
+                        **kwargs,
+                    )
             if fmt == "wav":
                 out_sr, wav = res.variations[0]
                 self._send(200, audio_to_wav_bytes(out_sr, wav), "audio/wav")
@@ -222,13 +318,20 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(500, {"error": f"{type(e).__name__}: {e}"})
 
 
-def make_server(interface, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+def make_server(
+    interface, host: str = "127.0.0.1", port: int = 0, engine=None
+) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; port 0 picks a free port.
-    Requests serialize on a lock — batching across clients is VampEngine's
-    job (serve/engine.py); this surface is the reference app's single-user
-    contract."""
+
+    Without an engine, requests serialize on a lock (the reference app's
+    single-user contract). With `engine=VampEngine(interface)`, generates are
+    engine requests instead — concurrent HTTP clients merge into shared
+    device batches (vamp_core_engine); knobs the engine can't model
+    (stretch, feedback, model switching) transparently fall back to the
+    locked path."""
     server = ThreadingHTTPServer((host, port), _Handler)
     server.interface = interface  # type: ignore[attr-defined]
+    server.engine = engine  # type: ignore[attr-defined]
     server.lock = threading.Lock()  # type: ignore[attr-defined]
     return server
 
