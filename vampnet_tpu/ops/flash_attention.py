@@ -45,9 +45,12 @@ def _attn_kernel_blocked(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, d)
-    k = k_ref[0].astype(jnp.float32)  # (BK, d)
-    v = v_ref[0].astype(jnp.float32)  # (BK, d)
+    # MXU dots run on the INPUT dtype with f32 accumulation: bf16 inputs are
+    # exactly representable, so skipping the f32 upcast changes nothing
+    # numerically for q@k^T while avoiding the multi-pass fp32 MXU rate.
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (BK, d)
+    v = v_ref[0]  # (BK, d)
     bias = b_ref[0]  # (BQ, BK)
 
     s = (
@@ -64,7 +67,7 @@ def _attn_kernel_blocked(
     alpha = jnp.exp(m_prev - m_new)
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = m_new
@@ -75,8 +78,8 @@ def _attn_kernel_blocked(
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (BQ, d)
-    k = k_ref[0].astype(jnp.float32)  # (T, d)
+    q = q_ref[0]  # (BQ, d) — input dtype; f32 accumulation in the dot
+    k = k_ref[0]  # (T, d)
     v = v_ref[0]  # (T, d) bf16
     bias = b_ref[0]  # (BQ, T) fp32
 
@@ -100,8 +103,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
 
 def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *, scale: float):
     """Single-pass forward that also emits logsumexp rows (for the VJP)."""
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
     v = v_ref[0]
     bias = b_ref[0]
 
@@ -137,12 +140,18 @@ def _attn_kernel_bwd(
         dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0])
         dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, d)
-    k = k_ref[0].astype(jnp.float32)  # (T, d)
-    v = v_ref[0].astype(jnp.float32)  # (T, d)
+    # All five MXU dots run on the INPUT dtype (f32 accumulation): for the
+    # recomputed scores and do@v this is numerically identical to the old
+    # f32 upcast (bf16 inputs are exact), and p/ds are truncated to the
+    # input dtype for their dots — the same convention the forward uses for
+    # p@v, and what bf16 training pays everywhere else. fp32 inputs are
+    # unchanged (every cast is a no-op), so grad-parity tests still bind.
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (T, d)
+    v = v_ref[0]  # (T, d)
     bias = b_ref[0]  # (BQ, T)
     lse = lse_ref[0, 0, :][:, None]  # (BQ, 1)
-    do = do_ref[0].astype(jnp.float32)  # (BQ, d)
+    do = do_ref[0]  # (BQ, d)
     delta = delta_ref[0, 0, :][:, None]  # (BQ, 1) = rowsum(do * out)
 
     s = (
@@ -156,7 +165,7 @@ def _attn_kernel_bwd(
     p = jnp.exp(s - lse)  # softmax probs (BQ, T)
     # dv += p^T do
     dv_ref[0, :, :] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
@@ -165,13 +174,13 @@ def _attn_kernel_bwd(
     )  # (BQ, T)
     ds = p * (dp - delta)  # dL/d(scores+bias)
     dbias_ref[0, :, :] = ds.astype(dbias_ref.dtype)
-    ds_scaled = ds * scale
+    ds_mm = (ds * scale).astype(q.dtype)
     dq_ref[0, :, :] = jax.lax.dot_general(
-        ds_scaled, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        ds_mm, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
     dk_ref[0, :, :] += jax.lax.dot_general(
-        ds_scaled, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_mm, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
@@ -190,12 +199,12 @@ def _attn_kernel_bwd_dkdv(
         dk_ref[0, :, :] = jnp.zeros_like(dk_ref[0])
         dv_ref[0, :, :] = jnp.zeros_like(dv_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     bias = b_ref[0]
     lse = lse_ref[0, 0, :][:, None]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     delta = delta_ref[0, 0, :][:, None]
 
     s = (
@@ -208,14 +217,14 @@ def _attn_kernel_bwd_dkdv(
     )
     p = jnp.exp(s - lse)
     dv_ref[0, :, :] += jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta) * scale
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dk_ref[0, :, :] += jax.lax.dot_general(
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -240,12 +249,12 @@ def _attn_kernel_bwd_dq_dbias(
     def _():
         dbias_ref[0, :, :] = jnp.zeros_like(dbias_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     bias = b_ref[0]  # (block_q, t)
     lse = lse_ref[0, 0, :][:, None]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     delta = delta_ref[0, 0, :][:, None]
 
     s = (
@@ -264,7 +273,8 @@ def _attn_kernel_bwd_dq_dbias(
     ds = p * (dp - delta)  # dL/d(scores+bias)
     dbias_ref[0, pl.dslice(i2 * block_q, block_q), :] += ds
     dq_ref[0, :, :] = jax.lax.dot_general(
-        ds * scale, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        (ds * scale).astype(q.dtype), k,
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
 
@@ -285,12 +295,12 @@ def _attn_kernel_bwd_wholeseq(
     def _():
         dbias_ref[0, :, :] = jnp.zeros_like(dbias_ref[0])
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
     bias = b_ref[0]  # (t, t)
     lse = lse_ref[0, 0, :][:, None]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     delta = delta_ref[0, 0, :][:, None]
 
     s = (
@@ -303,7 +313,7 @@ def _attn_kernel_bwd_wholeseq(
     )
     p = jnp.exp(s - lse)
     dv_ref[0, :, :] = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+        p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dv_ref.dtype)
     dp = jax.lax.dot_general(
@@ -312,13 +322,13 @@ def _attn_kernel_bwd_wholeseq(
     )
     ds = p * (dp - delta)  # dL/d(scores+bias)
     dbias_ref[0, :, :] += ds
-    ds_scaled = ds * scale
+    ds_mm = (ds * scale).astype(q.dtype)
     dq_ref[0, :, :] = jax.lax.dot_general(
-        ds_scaled, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        ds_mm, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
     dk_ref[0, :, :] = jax.lax.dot_general(
-        ds_scaled, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds_mm, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dk_ref.dtype)
 
@@ -328,17 +338,31 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
-    """Single-pass forward pallas_call on padded (bh, tp, dp) arrays."""
+    """Single-pass forward pallas_call on padded (bh, tp, dp) arrays.
+
+    Shared-bias grid order is (h, q_block, batch) — batch innermost — so the
+    head's fp32 (block_q, tp) bias block stays VMEM-resident across the
+    batch sweep instead of being re-fetched per (batch, head) program (at
+    train shapes that re-fetch was ~513 MB/layer of pure bias reads; q/k/v
+    blocks are per-program fetches either way at the whole-seq default)."""
     bh, tp, dp = qp.shape
-    bias_index = (
-        (lambda i, j: (i, j, 0)) if bias_p.shape[0] == bh
-        else (lambda i, j: (i % h, j, 0))
-    )
-    grid = (bh, tp // block_q)
+    shared_bias = bias_p.shape[0] != bh
+    if shared_bias:
+        grid = (h, tp // block_q, bh // h)
+        qo_index = lambda i0, i1, i2: (i2 * h + i0, i1, 0)
+        kv_index = lambda i0, i1, i2: (i2 * h + i0, 0, 0)
+        bias_index = lambda i0, i1, i2: (i0, i1, 0)
+        lse_index = lambda i0, i1, i2: (i2 * h + i0, 0, i1)
+    else:
+        grid = (bh, tp // block_q)
+        qo_index = lambda i, j: (i, j, 0)
+        kv_index = lambda i, j: (i, 0, 0)
+        bias_index = lambda i, j: (i, j, 0)
+        lse_index = lambda i, j: (i, 0, j)
     in_specs = [
-        pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tp, dp), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, block_q, dp), qo_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, dp), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, dp), kv_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, block_q, tp), bias_index, memory_space=pltpu.VMEM),
     ]
     if with_lse:
@@ -352,9 +376,9 @@ def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=(
-                    pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                    pl.BlockSpec((1, block_q, dp), qo_index,
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((1, 1, block_q), lambda i, j: (i, 0, j),
+                    pl.BlockSpec((1, 1, block_q), lse_index,
                                  memory_space=pltpu.VMEM),
                 ),
             ),
@@ -367,7 +391,7 @@ def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, block_q, dp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+                (1, block_q, dp), qo_index, memory_space=pltpu.VMEM
             ),
         ),
         interpret=interpret,
@@ -506,9 +530,13 @@ def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
     dq, dk, dv, dbias = pl.pallas_call(
         functools.partial(_attn_kernel_bwd_wholeseq, scale=scale),
         out_shape=(
+            # dk/dv leave the kernel in the INPUT dtype: each (batch, head)
+            # program writes its slice exactly once (no cross-program
+            # accumulation), and the caller cast them down anyway — writing
+            # fp32 first just doubled their HBM write traffic
             jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
-            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
-            jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, tp, dp), kp.dtype),
+            jax.ShapeDtypeStruct((bh, tp, dp), vp.dtype),
             jax.ShapeDtypeStruct((h, tp, tp), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
@@ -536,7 +564,7 @@ def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, bias_p, lse, do, delta)
-    return dq, dk.astype(kp.dtype), dv.astype(vp.dtype), dbias.astype(bias_p.dtype)
+    return dq, dk, dv, dbias.astype(bias_p.dtype)
 
 
 def _attention_core_bwd_split(
@@ -689,7 +717,11 @@ def flash_attention_with_bias(
     if bias is None:
         bias_p = jnp.zeros((h, tp, tp), jnp.float32)
     else:
-        bias_p = jnp.pad(bias.astype(jnp.float32), ((0, 0), (0, tp - t), (0, tp - t)))
+        # a bf16 bias rides through at bf16 (inference hoists the T5 bias
+        # once and re-reads it every layer x step — half the HBM traffic);
+        # anything else is upcast to fp32 (training keeps fp32 dbias)
+        bias_dt = jnp.bfloat16 if bias.dtype == jnp.bfloat16 else jnp.float32
+        bias_p = jnp.pad(bias.astype(bias_dt), ((0, 0), (0, tp - t), (0, tp - t)))
     # block padded keys for all queries
     if tp > t:
         key_pad = (jnp.arange(tp) >= t)[None, None, :]

@@ -53,7 +53,9 @@ def ring_attention(
     my = jax.lax.axis_index(axis_name)
     scale = 1.0 / (d ** 0.5)
 
-    qf = jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32)  # (b, h, tl, d)
+    # MXU dots run on the input dtype with f32 accumulation (bf16 operands
+    # are exact — same rationale as ops/flash_attention.py)
+    qf = jnp.transpose(q, (0, 2, 1, 3))  # (b, h, tl, d)
 
     def bias_block(src):
         if bias_table is None:
@@ -79,8 +81,8 @@ def ring_attention(
     def step(i, carry):
         m, l, acc, k_cur, v_cur = carry
         src = (my + i) % n  # global shard index currently held
-        kf = jnp.transpose(k_cur, (0, 2, 1, 3)).astype(jnp.float32)
-        vf = jnp.transpose(v_cur, (0, 2, 1, 3)).astype(jnp.float32)
+        kf = jnp.transpose(k_cur, (0, 2, 1, 3))
+        vf = jnp.transpose(v_cur, (0, 2, 1, 3))
         s = (
             jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
                        preferred_element_type=jnp.float32) * scale
@@ -91,7 +93,8 @@ def ring_attention(
         alpha = jnp.exp(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
-            "bhqk,bhkd->bhqd", p, vf, preferred_element_type=jnp.float32
+            "bhqk,bhkd->bhqd", p.astype(vf.dtype), vf,
+            preferred_element_type=jnp.float32,
         )
         # pass the shard along the ring (skipped after the last step; the
         # step loop is a python for over the static axis size)

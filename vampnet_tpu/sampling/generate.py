@@ -323,6 +323,12 @@ def build_generate_fn(
             bias = position_bias_from_params(
                 params, model.config, start_tokens.shape[-1]
             )
+            # the sampling loop re-reads this (h, t, t) bias 20 layers x
+            # n_steps times; in bf16 compute, carrying it at bf16 halves
+            # that HBM traffic (the kernel adds it into fp32 scores either
+            # way — ~0.01 logit rounding on O(1) bias values)
+            if model.config.dtype == jnp.bfloat16:
+                bias = bias.astype(jnp.bfloat16)
 
         if sp_mesh is not None:
             from jax.sharding import PartitionSpec as P
