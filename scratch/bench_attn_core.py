@@ -25,7 +25,9 @@ import numpy as np
 from vampnet_tpu.ops.flash_attention import flash_attention_with_bias
 
 B, H, T, D = 8, 20, 864, 64
-ITERS_LO, ITERS_HI = 2, 12
+# wide window: the 10-iteration diff (~10 ms fwd) drowned in tunnel RPC
+# noise (±10s of ms); ~100 dependent iterations give a stable per-call read
+ITERS_LO, ITERS_HI = 2, int(os.environ.get("ITERS_HI", 102))
 
 
 def main():
@@ -62,7 +64,7 @@ def main():
         out = jax.lax.fori_loop(0, iters, fwd_body, q)
         return jnp.sum(out.astype(jnp.float32))
 
-    def wall(iters, with_bwd, n=3):
+    def wall(iters, with_bwd, n=5):
         np.asarray(loop(q, k, v, bias, iters, with_bwd))
         best = float("inf")
         for _ in range(n):

@@ -17,6 +17,15 @@ softmax(q k^T / sqrt(d) + bias) v entirely in VMEM:
 Sequences beyond `MAX_SINGLE_PASS_SEQ` switch to the blocked online-softmax
 variant (k/v streamed block-by-block on grid dim 2, running max/denominator
 in VMEM scratch) — chunk-free attention for long context at O(t) memory.
+
+VPU economy (the kernels sit near a VPU+MXU-serialized floor, docs/PERF.md):
+the softmax runs in base 2 with `scale * log2(e)` folded into q and `log2(e)`
+into the bias BEFORE the kernels, deleting the (t, t)-sized `* scale` pass
+and exp's internal base conversion from every program; and the forward
+normalizes AFTER the p @ v matmul (one (t, d) divide instead of a (t, t)
+one). The custom-VJP core therefore differentiates `softmax2(qs k^T + b2) v`
+— the chain rule for the q/bias prefolds happens outside in XLA (a cheap
+(t, d) multiply), and dk = ds2^T qs needs no scale factor at all.
 """
 from __future__ import annotations
 
@@ -30,12 +39,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 MAX_SINGLE_PASS_SEQ = 1024  # beyond this, the blocked online-softmax kernel
 
+LOG2E = 1.4426950408889634  # log2(e): folded into q/bias for base-2 softmax
+LN2 = 0.6931471805599453  # ln(2): d softmax2 / d s2 carries this factor
+
 
 def _attn_kernel_blocked(
-    q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float
+    q_ref, k_ref, v_ref, b_ref, o_ref, m_scr, l_scr, acc_scr
 ):
     """Online-softmax flash attention: grid dim 2 streams k/v blocks; running
-    max/denominator/accumulator live in VMEM scratch across grid steps."""
+    max/denominator/accumulator live in VMEM scratch across grid steps.
+    q and bias arrive pre-folded (base-2 softmax, module docstring)."""
     kb = pl.program_id(2)
     n_kb = pl.num_programs(2)
 
@@ -58,13 +71,12 @@ def _attn_kernel_blocked(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -77,32 +89,35 @@ def _attn_kernel_blocked(
         o_ref[0, :, :] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # (BQ, d) — input dtype; f32 accumulation in the dot
+def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
+    q = q_ref[0]  # (BQ, d) — pre-scaled; input dtype; f32 accumulation
     k = k_ref[0]  # (T, d)
     v = v_ref[0]  # (T, d) bf16
-    bias = b_ref[0]  # (BQ, T) fp32
+    bias = b_ref[0]  # (BQ, T) pre-folded by log2(e)
 
     scores = (
         jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = jnp.exp2(scores - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o_ref[0, :, :] = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+    # normalize AFTER the dot: a (BQ, d) divide instead of a (BQ, T) one.
+    # (Riding the denominator on a ones-lane of padded v was measured 2.7x
+    # WORSE — Mosaic's single-lane extract + cross-lane broadcast costs far
+    # more than this row reduce.)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0, :, :] = (acc / l).astype(o_ref.dtype)
 
 
-def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *, scale: float):
-    """Single-pass forward that also emits logsumexp rows (for the VJP)."""
+def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref):
+    """Single-pass forward that also emits log2-sumexp2 rows (for the VJP)."""
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -113,23 +128,22 @@ def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref, *, scale: f
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = jnp.exp2(scores - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    lse_ref[0, 0, :] = (m + jnp.log(l))[:, 0]
-    p = (p / l).astype(v.dtype)
-    o_ref[0, :, :] = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+    lse_ref[0, 0, :] = (m + jnp.log2(l))[:, 0]
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )
+    o_ref[0, :, :] = (acc / l).astype(o_ref.dtype)
 
 
 def _attn_kernel_bwd(
     q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
 ):
     """Backward for the single-pass kernel. Grid (bh, q_blocks); dk/dv
     accumulate across q_blocks (same out block revisited sequentially)."""
@@ -146,11 +160,11 @@ def _attn_kernel_bwd(
     # input dtype for their dots — the same convention the forward uses for
     # p@v, and what bf16 training pays everywhere else. fp32 inputs are
     # unchanged (every cast is a no-op), so grad-parity tests still bind.
-    q = q_ref[0]  # (BQ, d)
+    q = q_ref[0]  # (BQ, d) — pre-scaled qs
     k = k_ref[0]  # (T, d)
     v = v_ref[0]  # (T, d)
-    bias = b_ref[0]  # (BQ, T)
-    lse = lse_ref[0, 0, :][:, None]  # (BQ, 1)
+    bias = b_ref[0]  # (BQ, T) — pre-folded b2
+    lse = lse_ref[0, 0, :][:, None]  # (BQ, 1), base-2
     do = do_ref[0]  # (BQ, d)
     delta = delta_ref[0, 0, :][:, None]  # (BQ, 1) = rowsum(do * out)
 
@@ -159,10 +173,9 @@ def _attn_kernel_bwd(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
-    p = jnp.exp(s - lse)  # softmax probs (BQ, T)
+    p = jnp.exp2(s - lse)  # softmax probs (BQ, T)
     # dv += p^T do
     dv_ref[0, :, :] += jax.lax.dot_general(
         p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -172,9 +185,9 @@ def _attn_kernel_bwd(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BQ, T)
-    ds = p * (dp - delta)  # dL/d(scores+bias)
+    ds = p * (dp - delta) * LN2  # dL/d(qs k^T + b2), base-2 chain factor
     dbias_ref[0, :, :] = ds.astype(dbias_ref.dtype)
-    ds_mm = (ds * scale).astype(q.dtype)
+    ds_mm = ds.astype(q.dtype)
     dq_ref[0, :, :] = jax.lax.dot_general(
         ds_mm, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -187,7 +200,7 @@ def _attn_kernel_bwd(
 
 def _attn_kernel_bwd_dkdv(
     q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
-    dk_ref, dv_ref, *, scale: float,
+    dk_ref, dv_ref,
 ):
     """dk/dv half of the split backward (shared-bias path). Grid
     (bh, q_blocks): dk/dv accumulate across q_blocks in the revisited
@@ -212,10 +225,9 @@ def _attn_kernel_bwd_dkdv(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dv_ref[0, :, :] += jax.lax.dot_general(
         p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -224,7 +236,7 @@ def _attn_kernel_bwd_dkdv(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = (p * (dp - delta) * scale).astype(q.dtype)
+    ds = (p * (dp - delta) * LN2).astype(q.dtype)
     dk_ref[0, :, :] += jax.lax.dot_general(
         ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -233,7 +245,7 @@ def _attn_kernel_bwd_dkdv(
 
 def _attn_kernel_bwd_dq_dbias(
     q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
-    dq_ref, dbias_ref, *, scale: float, block_q: int,
+    dq_ref, dbias_ref, *, block_q: int,
 ):
     """dq/dbias half of the split backward (shared-bias path). Grid
     (h, batch, q_blocks): the (1, t, t) dbias output block for head i0 is
@@ -262,18 +274,17 @@ def _attn_kernel_bwd_dq_dbias(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dp = jax.lax.dot_general(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta)  # dL/d(scores+bias)
+    ds = p * (dp - delta) * LN2  # dL/d(qs k^T + b2)
     dbias_ref[0, pl.dslice(i2 * block_q, block_q), :] += ds
     dq_ref[0, :, :] = jax.lax.dot_general(
-        (ds * scale).astype(q.dtype), k,
+        ds.astype(q.dtype), k,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dq_ref.dtype)
@@ -281,7 +292,7 @@ def _attn_kernel_bwd_dq_dbias(
 
 def _attn_kernel_bwd_wholeseq(
     q_ref, k_ref, v_ref, b_ref, lse_ref, do_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref, dbias_ref, *, scale: float,
+    dq_ref, dk_ref, dv_ref, dbias_ref,
 ):
     """Whole-sequence shared-bias backward in ONE pass. Grid (h, batch):
     every program holds the full (t, t) score block, so dq, dk, dv AND the
@@ -308,10 +319,9 @@ def _attn_kernel_bwd_wholeseq(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        * scale
         + bias
     )
-    p = jnp.exp(s - lse)
+    p = jnp.exp2(s - lse)
     dv_ref[0, :, :] = jax.lax.dot_general(
         p.astype(do.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -320,9 +330,9 @@ def _attn_kernel_bwd_wholeseq(
         do, v, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta)  # dL/d(scores+bias)
+    ds = p * (dp - delta) * LN2  # dL/d(qs k^T + b2)
     dbias_ref[0, :, :] += ds
-    ds_mm = (ds * scale).astype(q.dtype)
+    ds_mm = ds.astype(q.dtype)
     dq_ref[0, :, :] = jax.lax.dot_general(
         ds_mm, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -337,7 +347,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
+def _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse):
     """Single-pass forward pallas_call on padded (bh, tp, dp) arrays.
 
     Shared-bias grid order is (h, q_block, batch) — batch innermost — so the
@@ -367,7 +377,7 @@ def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
     ]
     if with_lse:
         return pl.pallas_call(
-            functools.partial(_attn_kernel_fwd_lse, scale=scale),
+            _attn_kernel_fwd_lse,
             out_shape=(
                 jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
                 jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32),
@@ -385,7 +395,7 @@ def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
             interpret=interpret,
         )(qp, kp, vp, bias_p)
     return pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
+        _attn_kernel,
         out_shape=jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -398,24 +408,26 @@ def _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse):
     )(qp, kp, vp, bias_p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _attention_core(qp, kp, vp, bias_p, scale, block_q, h, interpret):
-    """Differentiable single-pass fused attention on padded arrays.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_core(qp, kp, vp, bias_p, block_q, h, interpret):
+    """Differentiable single-pass fused attention on padded PRE-FOLDED arrays
+    (base-2 softmax: qp carries scale*log2e, bias_p carries log2e).
 
     Backward is its own Pallas kernel (custom-VJP pattern): probabilities are
-    recomputed per q-block from the saved logsumexp, dk/dv accumulate across
-    q-blocks in the revisited output block, dbias is emitted per (bh, q, k)
-    and reduced over the batch outside when the bias is head-shared.
+    recomputed per q-block from the saved log2-sumexp2, dk/dv accumulate
+    across q-blocks in the revisited output block, dbias is emitted per
+    (bh, q, k) and reduced over the batch outside when the bias is
+    head-shared. The prefolds' own chain rule runs outside in XLA.
     """
-    return _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse=False)
+    return _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=False)
 
 
-def _attention_core_fwd(qp, kp, vp, bias_p, scale, block_q, h, interpret):
-    out, lse = _fwd_call(qp, kp, vp, bias_p, scale, block_q, h, interpret, with_lse=True)
+def _attention_core_fwd(qp, kp, vp, bias_p, block_q, h, interpret):
+    out, lse = _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=True)
     return out, (qp, kp, vp, bias_p, out, lse)
 
 
-def _attention_core_bwd(scale, block_q, h, interpret, res, do):
+def _attention_core_bwd(block_q, h, interpret, res, do):
     qp, kp, vp, bias_p, out, lse = res
     bh, tp, dp = qp.shape
     shared_bias = bias_p.shape[0] != bh
@@ -425,13 +437,13 @@ def _attention_core_bwd(scale, block_q, h, interpret, res, do):
 
     if shared_bias:
         return _attention_core_bwd_split(
-            qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
+            qp, kp, vp, bias_p, lse, do, delta, block_q, h, interpret
         )
 
     bias_index = lambda i, j: (i, j, 0)
     grid = (bh, tp // block_q)
     dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_attn_kernel_bwd, scale=scale),
+        _attn_kernel_bwd,
         out_shape=(
             jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
             jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
@@ -516,7 +528,7 @@ def _split_bwd_block_q(block_q: int, bh: int, tp: int, dp: int, in_bytes: int) -
     return block_q
 
 
-def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
+def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, h, interpret):
     """pallas_call wrapper for _attn_kernel_bwd_wholeseq: grid (h, batch),
     dq/dk/dv per (batch, head) program, dbias batch-reduced in VMEM."""
     bh, tp, dp = qp.shape
@@ -528,7 +540,7 @@ def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
         (1, 1, tp), lambda i0, i1: (i1 * h + i0, 0, 0), memory_space=pltpu.VMEM
     )
     dq, dk, dv, dbias = pl.pallas_call(
-        functools.partial(_attn_kernel_bwd_wholeseq, scale=scale),
+        _attn_kernel_bwd_wholeseq,
         out_shape=(
             # dk/dv leave the kernel in the INPUT dtype: each (batch, head)
             # program writes its slice exactly once (no cross-program
@@ -568,7 +580,7 @@ def _bwd_wholeseq_call(qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret):
 
 
 def _attention_core_bwd_split(
-    qp, kp, vp, bias_p, lse, do, delta, scale, block_q, h, interpret
+    qp, kp, vp, bias_p, lse, do, delta, block_q, h, interpret
 ):
     """Shared-bias backward as two kernels: (dk, dv) with q-blocks innermost
     per row, and (dq, dbias) with the batch loop inside so the bias gradient
@@ -581,12 +593,12 @@ def _attention_core_bwd_split(
         # whole-seq: one single-pass kernel (5 score-sized matmuls) instead
         # of the dkdv + dq/dbias pair (7) — measured on the b=8 train step
         return _bwd_wholeseq_call(
-            qp, kp, vp, bias_p, lse, do, delta, scale, h, interpret
+            qp, kp, vp, bias_p, lse, do, delta, h, interpret
         )
     n_qb = tp // block_q
 
     dk, dv = pl.pallas_call(
-        functools.partial(_attn_kernel_bwd_dkdv, scale=scale),
+        _attn_kernel_bwd_dkdv,
         out_shape=(
             jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
             jax.ShapeDtypeStruct((bh, tp, dp), jnp.float32),
@@ -625,9 +637,7 @@ def _attention_core_bwd_split(
     )(qp, kp, vp, bias_p, lse, do, delta)
 
     dq, dbias = pl.pallas_call(
-        functools.partial(
-            _attn_kernel_bwd_dq_dbias, scale=scale, block_q=block_q
-        ),
+        functools.partial(_attn_kernel_bwd_dq_dbias, block_q=block_q),
         out_shape=(
             jax.ShapeDtypeStruct((bh, tp, dp), qp.dtype),
             jax.ShapeDtypeStruct((h, tp, tp), jnp.float32),
@@ -683,8 +693,13 @@ def flash_attention_with_bias(
     interpret: bool = False,
 ) -> jnp.ndarray:
     b, t, h, d = q.shape
-    scale = 1.0 / (d ** 0.5)
     blocked = t > MAX_SINGLE_PASS_SEQ
+    # base-2 softmax prefolds (module docstring): scale*log2e rides in q —
+    # a (t, d) multiply per layer instead of a (t, t) one per kernel — and
+    # log2e rides in the bias, CSE'd once per forward across layers. The
+    # multiply runs in fp32 so the folded constant isn't itself rounded to
+    # bf16 (which would systematically re-temperature the scores by ~1e-3).
+    q = (q.astype(jnp.float32) * (LOG2E / (d ** 0.5))).astype(q.dtype)
 
     # pad: t to lcm(block-aligned, 128 lanes), d to 128 lanes
     tp = _round_up(t, 128)
@@ -721,7 +736,10 @@ def flash_attention_with_bias(
         # once and re-reads it every layer x step — half the HBM traffic);
         # anything else is upcast to fp32 (training keeps fp32 dbias)
         bias_dt = jnp.bfloat16 if bias.dtype == jnp.bfloat16 else jnp.float32
-        bias_p = jnp.pad(bias.astype(bias_dt), ((0, 0), (0, tp - t), (0, tp - t)))
+        bias_p = jnp.pad(
+            (bias.astype(jnp.float32) * LOG2E).astype(bias_dt),
+            ((0, 0), (0, tp - t), (0, tp - t)),
+        )
     # block padded keys for all queries
     if tp > t:
         key_pad = (jnp.arange(tp) >= t)[None, None, :]
@@ -745,7 +763,7 @@ def flash_attention_with_bias(
         )
         grid = (b * h, tp // block_q, tp // block_k)
         out = pl.pallas_call(
-            functools.partial(_attn_kernel_blocked, scale=scale),
+            _attn_kernel_blocked,
             out_shape=jax.ShapeDtypeStruct((b * h, tp, dp), q.dtype),
             grid_spec=pl.GridSpec(
                 grid=grid,
@@ -773,7 +791,7 @@ def flash_attention_with_bias(
         )(qp, kp, vp, bias_p)
     else:
         # differentiable custom-VJP core (fwd + bwd are both Pallas kernels)
-        out = _attention_core(qp, kp, vp, bias_p, scale, block_q, h, interpret)
+        out = _attention_core(qp, kp, vp, bias_p, block_q, h, interpret)
 
     out = out[:, :t, :d].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))

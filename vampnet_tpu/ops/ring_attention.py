@@ -51,11 +51,17 @@ def ring_attention(
     b, tl, h, d = q.shape
     n_dev = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
-    scale = 1.0 / (d ** 0.5)
+    # base-2 softmax with scale*log2e folded into q — same VPU economy as
+    # ops/flash_attention.py (one (t, d) multiply instead of per-step
+    # (tl, tl) scale passes; exp2 skips exp's base conversion)
+    from .flash_attention import LOG2E
 
     # MXU dots run on the input dtype with f32 accumulation (bf16 operands
     # are exact — same rationale as ops/flash_attention.py)
-    qf = jnp.transpose(q, (0, 2, 1, 3))  # (b, h, tl, d)
+    qf = (
+        jnp.transpose(q, (0, 2, 1, 3)).astype(jnp.float32)
+        * (LOG2E / (d ** 0.5))
+    ).astype(q.dtype)  # (b, h, tl, d)
 
     def bias_block(src):
         if bias_table is None:
@@ -85,12 +91,12 @@ def ring_attention(
         vf = jnp.transpose(v_cur, (0, 2, 1, 3))
         s = (
             jnp.einsum("bhqd,bhkd->bhqk", qf, kf,
-                       preferred_element_type=jnp.float32) * scale
-            + bias_block(src)[None]
+                       preferred_element_type=jnp.float32)
+            + bias_block(src)[None] * LOG2E
         )
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m - m_new)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum(
             "bhqk,bhkd->bhqd", p.astype(vf.dtype), vf,
