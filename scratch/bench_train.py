@@ -55,7 +55,9 @@ def main():
     params = jax.jit(lambda k: model.init(k, codes0, cbs, method="forward_codes"))(
         jax.random.PRNGKey(3)
     )["params"]
-    opt = make_optimizer(cfg.embedding_dim)
+    opt = make_optimizer(
+        cfg.embedding_dim, state_dtype=os.environ.get("BENCH_ADAM_DTYPE") or None
+    )
     state = TrainState(params, jax.jit(opt.init)(params), jnp.zeros((), jnp.int32))
     enc_mb = int(os.environ.get("BENCH_ENC_MB", 0)) or None
     step = make_train_step(model, codec, opt, encode_microbatch=enc_mb)

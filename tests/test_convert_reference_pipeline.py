@@ -69,6 +69,48 @@ def _build_snapshot(root):
     return root
 
 
+def test_hello_quickstart_runs_on_converted_zoo(tmp_path, monkeypatch):
+    """Drive hello.py's main() — the README quickstart (reference
+    hello.py:1-48) — end to end against a converted local zoo: encode ->
+    build_mask(periodic, upper_codebook_mask) -> vamp -> decode -> write."""
+    from scripts.convert_reference import convert_reference
+
+    snap = _build_snapshot(tmp_path / "snapshot")
+    out_dir = convert_reference(
+        str(snap), out=str(tmp_path / "zoo"), parity=False, goldens=False
+    )
+
+    import vampnet_tpu.interface as iface_mod
+    import vampnet_tpu.registry as registry
+
+    monkeypatch.setattr(registry, "MODELS_DIR", out_dir)
+    monkeypatch.setattr(iface_mod, "MODELS_DIR", out_dir, raising=False)
+
+    import hello
+    from vampnet_tpu.audio import AudioSignal
+
+    # tiny codec => 2 kHz frame rate; shrink the chunk grid to match
+    iface = iface_mod.Interface.default()
+    iface.set_chunk_size(0.016)
+    iface.c2f.chunk_size_s = 0.008
+
+    sr = CODEC_CFG.sample_rate
+    x = (0.2 * np.sin(2 * np.pi * 220 * np.arange(CODEC_CFG.hop_length * 32) / sr))
+    AudioSignal(x[None, None, :].astype(np.float32), sr).write(
+        tmp_path / "asset.wav"
+    )
+
+    sig = hello.main(
+        asset=str(tmp_path / "asset.wav"), out=str(tmp_path / "hello_out.wav"),
+        model="myfinetune", periodic_prompt=3, upper_codebook_mask=2,
+        interface=iface, _sampling_steps=2,
+    )
+    assert (tmp_path / "hello_out.wav").exists()
+    assert np.isfinite(np.asarray(sig.samples)).all()
+    # the finetuned checkpoints got hot-swapped in
+    assert iface.coarse_path == out_dir / "loras" / "myfinetune" / "coarse.vtpu"
+
+
 def test_convert_reference_end_to_end(tmp_path, monkeypatch):
     from scripts.convert_reference import convert_reference
 

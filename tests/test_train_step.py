@@ -60,6 +60,73 @@ def test_train_step_decreases_loss():
     assert "accuracy-0.0-0.5/top1/masked" in metrics
 
 
+def test_adam_lowmem_fp32_matches_optax_scale_by_adam():
+    from vampnet_tpu.train.step import _scale_by_adam_lowmem
+
+    params = {"a": jnp.linspace(-1, 1, 24).reshape(4, 6),
+              "b": jnp.full((3,), 0.5)}
+    ours = _scale_by_adam_lowmem(0.9, 0.999, 1e-8, jnp.float32)
+    ref = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    s_ours, s_ref = ours.init(params), ref.init(params)
+    key = jax.random.PRNGKey(0)
+    for i in range(4):
+        key, k = jax.random.split(key)
+        grads = jax.tree_util.tree_map(
+            lambda p: jax.random.normal(k, p.shape), params
+        )
+        u_ours, s_ours = ours.update(grads, s_ours)
+        u_ref, s_ref = ref.update(grads, s_ref)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+            u_ours, u_ref,
+        )
+
+
+def test_train_step_with_bf16_adam_state():
+    """state_dtype="bfloat16" (the AdamW.state_dtype knob): moments stored
+    bf16, same state tree structure (ZeRO-1 specs bind), one update stays
+    close to the fp32 optimizer, and loss still falls."""
+    codec, codec_params, lm, lm_params, cbs, _ = _setup()
+    audio = jax.random.normal(jax.random.PRNGKey(5), (2, CODEC_CFG.hop_length * 16, 1)) * 0.1
+    opt32 = make_optimizer(LM_CFG.embedding_dim, factor=0.5, warmup=10)
+    opt16 = make_optimizer(
+        LM_CFG.embedding_dim, factor=0.5, warmup=10, state_dtype="bfloat16"
+    )
+
+    st16 = opt16.init(lm_params)
+    dtypes = {x.dtype for x in jax.tree_util.tree_leaves(st16)
+              if hasattr(x, "dtype") and x.ndim > 0}
+    assert jnp.dtype(jnp.bfloat16) in dtypes
+
+    # identical tree structure => the ZeRO-1 / opt-state spec machinery binds
+    specs = lm_param_specs(lm_params)
+    mspecs = zero1_specs(specs, lm_params, dp_size=4)
+    opt_state_specs(st16, mspecs)
+    assert jax.tree_util.tree_structure(st16) == jax.tree_util.tree_structure(
+        opt32.init(lm_params)
+    )
+
+    def run(opt, n=8):
+        state = TrainState(lm_params, opt.init(lm_params), jnp.zeros((), jnp.int32))
+        step = jax.jit(make_train_step(lm, codec, opt))
+        losses = []
+        for _ in range(n):
+            state, metrics = step(state, codec_params, cbs, audio, jax.random.PRNGKey(0))
+            losses.append(float(metrics["loss"]))
+        return state, losses
+
+    s16, losses16 = run(opt16)
+    s32, losses32 = run(opt32)
+    assert np.mean(losses16[-3:]) < losses16[0]
+    # first step is bitwise-identical math modulo one bf16 round of zeros (=0);
+    # after 8 steps the trajectories stay close
+    np.testing.assert_allclose(losses16[0], losses32[0], rtol=1e-5)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), s16.params, s32.params
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-3
+
+
 def test_lora_only_training_freezes_base():
     cfg = LMConfig(**{**LM_CFG.__dict__, "lora_r": 2})
     codec, codec_params, lm, lm_params, cbs, _ = _setup(cfg)

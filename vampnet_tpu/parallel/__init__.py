@@ -1,2 +1,2 @@
-from .mesh import make_mesh  # noqa: F401
+from .mesh import make_mesh, make_sp_mesh, multihost_init  # noqa: F401
 from .partition import lm_param_specs, opt_state_specs, zero1_specs  # noqa: F401

@@ -179,6 +179,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
         warmup=int(args.get("NoamScheduler.warmup", 10000)),
         grad_clip=grad_clip,
         lora_filter=lora_filter,
+        state_dtype=args.get("AdamW.state_dtype"),
     )
     opt_state = optimizer.init(lm_params)
 

@@ -44,6 +44,50 @@ jax.tree_util.register_pytree_node(
 )
 
 
+def _scale_by_adam_lowmem(
+    b1: float, b2: float, eps: float, state_dtype
+) -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in `state_dtype` (bf16 halves
+    the optimizer's HBM: at coarse scale m+v are 2.6 GB fp32 and the AdamW
+    update sits exactly at its ~9.3 GB memory roofline — docs/PERF.md "Step
+    decomposition"). Moment math runs in fp32 and is rounded once on store;
+    reuses optax.ScaleByAdamState so ZeRO-1 specs / orbax checkpoints see the
+    same tree structure as stock adamw."""
+    tree_map = jax.tree_util.tree_map
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros(p.shape, state_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=tree_map(zeros, params),
+            nu=tree_map(zeros, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_int32_increment(state.count)
+        f32 = jnp.float32
+        mu32 = tree_map(
+            lambda g, m: b1 * m.astype(f32) + (1 - b1) * g.astype(f32),
+            updates, state.mu,
+        )
+        nu32 = tree_map(
+            lambda g, n: b2 * n.astype(f32)
+            + (1 - b2) * jnp.square(g.astype(f32)),
+            updates, state.nu,
+        )
+        bc1 = 1 - b1 ** count.astype(f32)
+        bc2 = 1 - b2 ** count.astype(f32)
+        out = tree_map(
+            lambda g, m, n: ((m / bc1) / (jnp.sqrt(n / bc2) + eps)).astype(g.dtype),
+            updates, mu32, nu32,
+        )
+        cast = lambda t: tree_map(lambda x: x.astype(state_dtype), t)
+        return out, optax.ScaleByAdamState(count, cast(mu32), cast(nu32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     d_model: int,
     factor: float = 2.0,
@@ -51,19 +95,27 @@ def make_optimizer(
     weight_decay: float = 0.01,
     grad_clip: float = 5.0,
     lora_filter: Optional[Any] = None,
+    state_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
     """AdamW + grad clip + Noam schedule (reference conf/vampnet.yml:
     AdamW.lr scaled by NoamScheduler factor=2.0 warmup=10000; clip 5.0 at
-    train.py:296). With `lora_filter`, only adapter leaves are updated."""
-    tx = optax.chain(
-        optax.clip_by_global_norm(grad_clip),
-        optax.adamw(
-            learning_rate=noam_schedule(d_model, factor=factor, warmup=warmup),
-            b1=0.9,
-            b2=0.999,
-            weight_decay=weight_decay,
-        ),
-    )
+    train.py:296). With `lora_filter`, only adapter leaves are updated.
+    `state_dtype="bfloat16"` stores the Adam moments low-precision
+    (opt-in memory/bandwidth lever; default keeps fp32 parity)."""
+    lr = noam_schedule(d_model, factor=factor, warmup=warmup)
+    if state_dtype is None or jnp.dtype(state_dtype) == jnp.float32:
+        adam = optax.adamw(
+            learning_rate=lr, b1=0.9, b2=0.999, weight_decay=weight_decay
+        )
+    else:
+        adam = optax.chain(
+            _scale_by_adam_lowmem(
+                b1=0.9, b2=0.999, eps=1e-8, state_dtype=jnp.dtype(state_dtype)
+            ),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
+    tx = optax.chain(optax.clip_by_global_norm(grad_clip), adam)
     if lora_filter is not None:
         labels = jax.tree_util.tree_map(
             lambda is_lora: "lora" if is_lora else "frozen", lora_filter
