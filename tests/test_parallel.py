@@ -43,6 +43,22 @@ def test_multihost_env_parsing_jax_dialect_wins():
                     "num_processes": 16, "process_id": 7}
 
 
+def test_train_cli_joins_multihost_when_env_set(monkeypatch):
+    import vampnet_tpu.parallel as par
+    from vampnet_tpu.train import loop as loop_mod
+
+    calls = []
+    monkeypatch.setattr(par, "multihost_init", lambda: calls.append(1) or (0, 2))
+    monkeypatch.setattr(loop_mod, "train", lambda args: "trained")
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("MASTER_ADDR", raising=False)
+    assert loop_mod.main([]) == "trained"
+    assert not calls  # no coordinator configured -> single-host, no init
+    monkeypatch.setenv("MASTER_ADDR", "10.0.0.1")
+    assert loop_mod.main([]) == "trained"
+    assert calls == [1]
+
+
 def test_multihost_init_idempotent(monkeypatch):
     calls = []
     monkeypatch.setattr(mesh_mod, "_MULTIHOST_STATE", None)

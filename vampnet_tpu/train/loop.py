@@ -423,6 +423,17 @@ def validate(eval_step, params, codec_params, codebooks, val_data, batch_size, r
 
 def main(argv=None):
     args = cfglib.parse_args(argv)
+    # multi-host launch: if a coordinator is configured in the environment
+    # (JAX-native or torchrun-dialect vars), join the slice before any
+    # device query — the reference counterpart is torchrun's implicit
+    # process-group init (reference scripts/exp/train.py:743)
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("MASTER_ADDR"):
+        from ..parallel import multihost_init
+
+        pid, n = multihost_init()
+        print(f"[multihost] process {pid}/{n}, {len(jax.devices())} global devices")
     return train(args)
 
 
