@@ -86,3 +86,12 @@ def test_multihost_init_idempotent(monkeypatch):
                             process_id=3, local_device_ids=[0])
     assert calls[-1] == {"coordinator_address": "x:1", "num_processes": 8,
                          "process_id": 3, "local_device_ids": [0]}
+
+    # a second call with CONFLICTING explicit topology fails loudly
+    # instead of silently returning the stale state
+    monkeypatch.setattr(mesh_mod, "_MULTIHOST_STATE", (3, 8))
+    assert mesh_mod.multihost_init(num_processes=8, process_id=3) == (3, 8)
+    with pytest.raises(RuntimeError, match="conflicting num_processes"):
+        mesh_mod.multihost_init(num_processes=16)
+    with pytest.raises(RuntimeError, match="conflicting process_id"):
+        mesh_mod.multihost_init(process_id=0)

@@ -41,6 +41,30 @@ def data_and_codec(tmp_path_factory):
     return root
 
 
+def test_batchloader_shards_partition_the_global_batch(data_and_codec):
+    """shard=(pid, n) must yield exactly rows [pid*b/n, (pid+1)*b/n) of the
+    unsharded loader's batches — multi-host data loading stays aligned with
+    the single-host run while each host loads disjoint rows."""
+    from vampnet_tpu.train.datasets import AudioDataset, AudioLoader, BatchLoader
+
+    root = data_and_codec
+    ds = AudioDataset(
+        AudioLoader(sources=[str(root / "train")]), sample_rate=8000,
+        duration=0.25, n_examples=8, loudness_cutoff=-60.0,
+    )
+    collect = lambda loader: list(iter(loader))  # num_workers=1 -> FIFO order
+    full = collect(BatchLoader(ds, 4, num_workers=1))
+    part0 = collect(BatchLoader(ds, 4, num_workers=1, shard=(0, 2)))
+    part1 = collect(BatchLoader(ds, 4, num_workers=1, shard=(1, 2)))
+    assert len(full) == len(part0) == len(part1) == 2
+    assert part0[0].shape[0] == 2  # each host materializes only its rows
+    for f, p0, p1 in zip(full, part0, part1):
+        np.testing.assert_array_equal(np.concatenate([p0, p1], axis=0), f)
+
+    with pytest.raises(ValueError):
+        BatchLoader(ds, 4, shard=(0, 3))  # 4 rows not divisible by 3 hosts
+
+
 def _args(root, save_path, **extra):
     return {
         "codec_ckpt": str(root / "codec.vtpu"),

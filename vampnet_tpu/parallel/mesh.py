@@ -110,6 +110,19 @@ def multihost_init(
     """
     global _MULTIHOST_STATE
     if _MULTIHOST_STATE is not None:
+        # loud, not silent: a second call with explicit args that disagree
+        # with the live topology is a misconfigured launcher
+        live_pid, live_n = _MULTIHOST_STATE
+        if process_id is not None and process_id != live_pid:
+            raise RuntimeError(
+                f"multihost_init already initialized with process_id={live_pid}, "
+                f"got conflicting process_id={process_id}"
+            )
+        if num_processes is not None and num_processes != live_n:
+            raise RuntimeError(
+                f"multihost_init already initialized with num_processes={live_n}, "
+                f"got conflicting num_processes={num_processes}"
+            )
         return _MULTIHOST_STATE
     env_args = _multihost_args_from_env()
     kwargs = dict(

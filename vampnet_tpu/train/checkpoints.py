@@ -8,7 +8,13 @@ Layout:
   runs/<name>/<tag>/lora.vtpu   — adapter-only tree (fine-tune runs,
                                   reference train.py:399-406)
 Tags: latest (every save), best (val-loss, reference :395-397), <N>k at
-save_iters (:392-394). Saves are async (orbax); rank-0 only.
+save_iters (:392-394).
+
+Multi-host: the orbax save/restore of the (possibly cross-process-sharded)
+train state is a COLLECTIVE — every process participates, with `save_path`
+on shared storage; only the host-side extras (tracker.json, model.vtpu,
+lora.vtpu) are rank-0-gated (reference counterpart: ZeRO consolidation to
+rank 0 + rank-0 writes, train.py:376-385).
 """
 from __future__ import annotations
 
@@ -38,16 +44,24 @@ class CheckpointManager:
         tracker_state: Optional[dict] = None,
         fine_tune: bool = False,
     ):
-        if not self.is_main:
-            return
         tag_dir = self.root / tag
         state_dir = tag_dir / "state"
-        if state_dir.exists():
-            shutil.rmtree(state_dir)
-        tag_dir.mkdir(parents=True, exist_ok=True)
+        if self.is_main:
+            if state_dir.exists():
+                shutil.rmtree(state_dir)
+            tag_dir.mkdir(parents=True, exist_ok=True)
+        if jax.process_count() > 1:
+            # ZeRO-1 shards the Adam moments over the global dp axis, so the
+            # orbax save below is a collective: barrier so no process starts
+            # writing while rank 0 is still clearing the old tag dir
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_processes(f"ckpt-save-{tag}")
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
         self._ckptr.save(state_dir, tree)
         self._ckptr.wait_until_finished()
+        if not self.is_main:
+            return
         if tracker_state is not None:
             (tag_dir / "tracker.json").write_text(json.dumps(tracker_state))
         save_lm(tag_dir / "model.vtpu", lm_config, state.params)

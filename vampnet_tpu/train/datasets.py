@@ -119,6 +119,11 @@ class BatchLoader:
     """Threaded prefetching batch iterator -> (b, t, 1) float32 numpy.
 
     `start_idx` fast-forwards for checkpoint resume (reference train.py:678).
+
+    `shard=(pid, n_proc)` yields only this process's rows of each GLOBAL
+    batch (rows pid*b/n .. (pid+1)*b/n): batch indices stay aligned with the
+    single-host run while every host loads disjoint data — the reference
+    counterpart is DistributedSampler (train.py:676-690).
     """
 
     def __init__(
@@ -128,12 +133,17 @@ class BatchLoader:
         num_workers: int = 4,
         start_idx: int = 0,
         prefetch: int = 4,
+        shard: tuple = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.start_idx = start_idx
         self.prefetch = prefetch
+        pid, n_proc = shard
+        if batch_size % n_proc != 0 or not (0 <= pid < n_proc):
+            raise ValueError(f"bad shard {shard} for batch_size {batch_size}")
+        self.shard = (pid, n_proc)
 
     def __iter__(self) -> Iterator[np.ndarray]:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -141,15 +151,19 @@ class BatchLoader:
         idx_lock = threading.Lock()
         next_idx = [self.start_idx]
 
+        pid, n_proc = self.shard
+        local_bs = self.batch_size // n_proc
+
         def worker():
             while not stop.is_set():
                 with idx_lock:
-                    lo = next_idx[0]
+                    lo_global = next_idx[0]
                     next_idx[0] += self.batch_size
-                if lo >= len(self.dataset):
+                if lo_global >= len(self.dataset):
                     break
+                lo = lo_global + pid * local_bs
                 sigs = []
-                for i in range(lo, lo + self.batch_size):
+                for i in range(lo, lo + local_bs):
                     item = self.dataset[i % len(self.dataset)]
                     sigs.append(self.dataset.transform(item["signal"]))
                 want = int(self.dataset.duration * self.dataset.sample_rate)

@@ -276,13 +276,31 @@ def train(args: dict, seed: int = 0) -> TrainState:
 
     cfglib.dump_args(args, save_path / "args.yml")
     start_step = int(state.step)
-    rng = np.random.default_rng(seed + jax.process_index())
+    # step keys feed a jit input declared REPLICATED — they must be
+    # value-identical on every process (GSPMD replication invariant); only
+    # the data stream is per-process (reference counterpart: identical DDP
+    # seeds for the model, DistributedSampler for the data, train.py:655,678)
+    step_rng = np.random.default_rng(seed)
+    # validation must also be host-identical: `tracker.is_best` gates the
+    # collective "best" checkpoint save, so hosts that computed different
+    # val losses would diverge into (or out of) the collective and deadlock
+    val_rng = np.random.default_rng(seed + 1)
 
+    n_proc, pid = jax.process_count(), jax.process_index()
+    if batch_size % n_proc != 0:
+        raise ValueError(f"batch_size {batch_size} not divisible by {n_proc} hosts")
     loader = BatchLoader(
         train_data, batch_size, num_workers=num_workers,
-        start_idx=start_step * batch_size,
+        start_idx=start_step * batch_size, shard=(pid, n_proc),
     )
     it = iter(loader)
+
+    def to_global(batch: np.ndarray):
+        """Assemble this host's (batch_size/n_proc) rows into the globally
+        dp-sharded batch. Single-host: a plain device_put."""
+        if n_proc == 1:
+            return jax.device_put(jnp.asarray(batch), batch_sharding)
+        return jax.make_array_from_process_local_data(batch_sharding, batch)
 
     t_last = time.time()
     for step_i in range(start_step, num_iters):
@@ -290,17 +308,20 @@ def train(args: dict, seed: int = 0) -> TrainState:
             batch = next(it)
         except StopIteration:
             it = iter(
-                BatchLoader(train_data, batch_size, num_workers=num_workers)
+                BatchLoader(
+                    train_data, batch_size, num_workers=num_workers,
+                    shard=(pid, n_proc),
+                )
             )
             batch = next(it)
-        audio = jax.device_put(jnp.asarray(batch), batch_sharding)
+        audio = to_global(batch)
         # rbg = the TPU hardware RNG: measured 18.6% faster train step than
         # threefry (209 vs 257 ms at coarse scale, scratch/bench_train.py) —
         # the in-step dropout masks are ~700M PRNG words on the VPU. Still
         # deterministic per key; stream differs from threefry (training only,
         # the sampler keeps threefry semantics). Opt out with prng: threefry.
         step_key = jax.random.key(
-            int(rng.integers(0, 2**31 - 1)), impl=prng_impl
+            int(step_rng.integers(0, 2**31 - 1)), impl=prng_impl
         )
         state, metrics = train_step(state, codec_params, codebooks, audio, step_key)
         tracker.step = step_i + 1
@@ -311,7 +332,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
             t_last = time.time()
             tracker.print_status("train", extra=f"{50/dt:.2f} it/s")
 
-        if (step_i + 1) % sample_freq == 0:
+        if (step_i + 1) % sample_freq == 0 and is_main:
             save_samples(
                 lm, lm_cfg, state.params, codec, codec_params, codebooks,
                 jnp.asarray(batch), save_path, tracker, step_i + 1,
@@ -321,7 +342,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
         if (step_i + 1) % val_freq == 0:
             val_metrics = validate(
                 eval_step, state.params, codec_params, codebooks, val_data,
-                batch_size, rng,
+                batch_size, val_rng,
             )
             tracker.log("val", val_metrics)
             tracker.print_status("val")
