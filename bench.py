@@ -79,25 +79,13 @@ def _sampler_golden_check():
     return out
 
 
-def main():
-    import os
-
+def build_iface():
+    """The benchmark model stack at full shipped scale (random weights —
+    throughput is weight-independent). Shared with scratch/bench_e2e_* so
+    surgery numbers always measure bench.py's exact configuration."""
     import jax
-
-    # persistent compilation cache: fresh processes reuse prior XLA/Mosaic
-    # compiles (the remote-compile path costs minutes per large program)
-    cache_dir = os.environ.get(
-        "VAMPNET_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
     import jax.numpy as jnp
 
-    from vampnet_tpu.audio import AudioSignal
     from vampnet_tpu.codec import LAC, CodecConfig
     from vampnet_tpu.interface import Interface
     from vampnet_tpu.modules import LMConfig, VampNetLM
@@ -120,7 +108,7 @@ def main():
             lambda k: model.init(k, codes, cbs, method="forward_codes")
         )(jax.random.PRNGKey(seed))["params"]
 
-    iface = Interface.from_modules(
+    return codec_cfg, Interface.from_modules(
         codec_cfg=codec_cfg,
         codec_params=codec_params,
         coarse_cfg=coarse_cfg,
@@ -129,8 +117,11 @@ def main():
         c2f_params=init_lm(c2f_cfg, 2),
     )
 
-    seconds = 10.0
-    batch_size = 2  # app default (reference app.py:232)
+
+def make_sig(codec_cfg, seconds=10.0):
+    """The benchmark input signal (two detuned partials + noise)."""
+    from vampnet_tpu.audio import AudioSignal
+
     sr = codec_cfg.sample_rate
     t = np.arange(int(seconds * sr)) / sr
     wav = (
@@ -138,7 +129,31 @@ def main():
         + 0.2 * np.sin(2 * np.pi * 220 * t * (1 + 0.1 * np.sin(2 * np.pi * 0.5 * t)))
         + 0.05 * np.random.default_rng(0).standard_normal(len(t))
     ).astype(np.float32)
-    sig = AudioSignal(wav[None, None, :], sr)
+    return AudioSignal(wav[None, None, :], sr)
+
+
+def main():
+    import os
+
+    import jax
+
+    # persistent compilation cache: fresh processes reuse prior XLA/Mosaic
+    # compiles (the remote-compile path costs minutes per large program)
+    cache_dir = os.environ.get(
+        "VAMPNET_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    codec_cfg, iface = build_iface()
+    seconds = 10.0
+    batch_size = 2  # app default (reference app.py:232)
+    sig = make_sig(codec_cfg, seconds)
 
     def run(seed):
         # single-dispatch path: encode -> mask -> coarse -> c2f -> decode is
@@ -161,40 +176,48 @@ def main():
     value = audio_sec / p50
 
     # ---- device-program vs tunnel split (round-3 bench honesty) ----
-    # Async-marginal over the cached stage programs at the single-stream
-    # shape: dispatch M repeats back-to-back, sync once — the marginal
-    # per-call wall is device compute; the ~150 ms RPC + transfer pipelines
-    # away. p50 - device_program_s is tunnel + host overhead.
+    # CHAINED differential: run the very e2e program measured above as
+    # dependent iterations inside ONE jitted fori_loop (output variation 0
+    # feeds the next iteration's input; DYNAMIC trip count so one compile
+    # serves both ends). Marginal per iteration = pure device e2e time —
+    # the only method that survives tunnel weather (CLAUDE.md measurement
+    # rule; the previous async-marginal staged method double-counted the
+    # ~69 ms/call waveform transfer and per-stage dispatch RPCs as device).
     device_program_s = None
     try:
-        codes1 = np.asarray(iface.encode(sig))
-        mask1 = np.asarray(iface.build_mask(jnp.asarray(codes1), seed=0))
-        codes_b = np.repeat(codes1, batch_size, axis=0)
-        mask_b = np.repeat(mask1, batch_size, axis=0)
-        seeds = np.arange(batch_size, dtype=np.uint32)
+        fn = [f for k, f in iface._gen_cache.items() if k[0] == "vamp_e2e"][-1]
+        audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
+        cp_, co_, c2_, cb_ = (
+            iface.codec_params, iface.coarse.params, iface.c2f.params,
+            iface._codebooks,
+        )
 
-        def stages(seed_off):
-            zc = iface.coarse_vamp(
-                jnp.asarray(codes_b), jnp.asarray(mask_b),
-                seed=seeds + seed_off, _sampling_steps=12,
-            )
-            zf = iface.coarse_to_fine(
-                zc, mask=jnp.asarray(mask_b), seed=seeds + seed_off + 7,
-                _sampling_steps=2,
-            )
-            return iface.decode(zf)
+        @jax.jit
+        def chained(audio, key, iters):
+            def body(i, a):
+                wav = fn(
+                    cp_, co_, c2_, cb_, a, jax.random.fold_in(key, i),
+                    jnp.float32(1.0), jnp.int32(0), jnp.int32(0),
+                    jnp.float32(1.0), jnp.float32(10.5), jnp.float32(0.0),
+                    jnp.float32(1.0),
+                )
+                return jnp.clip(wav[0:1], -1.0, 1.0)
 
-        stages(50)  # compile/warm
+            out = jax.lax.fori_loop(0, iters, body, audio)
+            return jnp.sum(out.astype(jnp.float32))
 
-        def wall_m(m, off):
-            t0 = time.perf_counter()
-            outs = [stages(off + 17 * i) for i in range(m)]
-            for o in outs:
-                np.asarray(o.samples)
-            return time.perf_counter() - t0
+        key_ = jax.random.PRNGKey(3)
 
-        w1 = min(wall_m(1, 60), wall_m(1, 70))
-        w4 = min(wall_m(4, 80), wall_m(4, 120))
+        def wall_iters(n, reps=2):
+            np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        w1, w4 = wall_iters(1), wall_iters(4)
         device_program_s = max(0.0, (w4 - w1) / 3)
     except Exception:
         device_program_s = None
@@ -234,10 +257,17 @@ def main():
                     f.result(timeout=3600)
 
             serve_round(8, 100)  # warmup/compile the batch-8 programs
-            t0 = time.perf_counter()
-            serve_round(16, 200)
-            serve_wall = time.perf_counter() - t0
-            serving = round(16 * seconds / serve_wall, 3)
+            # two measured rounds: the SECOND (fully steady-state, index
+            # chosen before seeing values) is the headline — same single-shot
+            # definition as every prior recorded round — and both are kept in
+            # detail so tunnel weather is visible
+            serve_walls = []
+            for round_i in range(2):
+                t0 = time.perf_counter()
+                serve_round(16, 200 + 100 * round_i)
+                serve_walls.append(time.perf_counter() - t0)
+            serving = round(16 * seconds / serve_walls[-1], 3)
+            serving_rounds = [round(16 * seconds / w, 3) for w in serve_walls]
             eng.close()
         except Exception:
             serving = None
@@ -252,15 +282,16 @@ def main():
         "backend": jax.default_backend(),
     }
     if device_program_s is not None:
-        # stage-marginal device compute (async-pipelined); the rest of p50
-        # is tunnel RPC + waveform transfer + host preprocess — round-over-
-        # round single-stream deltas should be judged on THIS number
+        # chained-differential device compute of the exact e2e program; the
+        # rest of p50 is tunnel RPC + waveform transfer + host preprocess —
+        # round-over-round single-stream deltas should be judged on THIS
         detail["device_program_s"] = round(device_program_s, 3)
         detail["tunnel_host_overhead_s"] = round(p50 - device_program_s, 3)
     if sampler_golden is not None:
         detail["sampler_golden"] = sampler_golden
     if serving is not None:
         detail["serving_audio_s_per_s_per_chip"] = serving
+        detail["serving_rounds"] = serving_rounds
         detail["serving_config"] = "16 concurrent 10s requests, max_batch=8"
     print(
         json.dumps(
