@@ -157,10 +157,14 @@ def main():
 
     def run(seed):
         # single-dispatch path: encode -> mask -> coarse -> c2f -> decode is
-        # ONE device program; only the waveform crosses back to the host
+        # ONE device program; only the waveform crosses back to the host.
+        # PCM16 on the host link (half the bytes of fp32, ~35 ms of the p50
+        # through the tunnel): lossless w.r.t. what users receive — the
+        # output is written as 16-bit WAV (AudioSignal.write) either way.
         out = iface.vamp_e2e(
             sig, batch_size=batch_size, seed=seed,
             periodic_prompt=7, upper_codebook_mask=3, _sampling_steps=12,
+            transfer_dtype="int16",
         )
         out.samples.sum()  # host sync
         return out
@@ -201,6 +205,8 @@ def main():
                     jnp.float32(1.0), jnp.float32(10.5), jnp.float32(0.0),
                     jnp.float32(1.0),
                 )
+                if wav.dtype == jnp.int16:  # PCM16-transfer program variant
+                    wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
                 return jnp.clip(wav[0:1], -1.0, 1.0)
 
             out = jax.lax.fori_loop(0, iters, body, audio)
@@ -279,6 +285,7 @@ def main():
         "coarse_steps": 12,
         "c2f_steps": 2,
         "n_runs": len(times),
+        "transfer_dtype": "int16",
         "backend": jax.default_backend(),
     }
     if device_program_s is not None:

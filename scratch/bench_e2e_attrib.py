@@ -137,6 +137,31 @@ def dec_body(i, c):
 results[f"decode_b{BATCH}"] = diff(dec_body, codes0)
 print(f"decode b={BATCH}:", results[f"decode_b{BATCH}"])
 
+# ---- codec conv-impl variants (xla vs matmul schedule, fp32 vs bf16) ----
+import dataclasses
+from vampnet_tpu.codec import LAC
+
+for impl, dt in (("matmul", "float32"), ("matmul", "bfloat16"),
+                 ("xla", "bfloat16")):
+    cfg_v = dataclasses.replace(codec_cfg, conv_impl=impl, compute_dtype=dt)
+    codec_v = LAC(cfg_v)
+
+    def enc_v(i, a, _m=codec_v):
+        codes = _m.apply({"params": cp}, a, method="encode")["codes"]
+        bump = jnp.where(codes[0, 0, 0] > 10**9, 1.0, 0.0)
+        return a + bump
+
+    def dec_v(i, c, _m=codec_v):
+        wav = _m.apply({"params": cp}, c, method="decode_codes")
+        bump = jnp.where(wav[0, 0, 0] > 2.0, 1, 0)
+        return c + bump
+
+    tag = f"{impl}_{dt}"
+    results[f"encode_b1_{tag}"] = diff(enc_v, audio0)
+    print(f"encode b=1 [{tag}]:", results[f"encode_b1_{tag}"])
+    results[f"decode_b{BATCH}_{tag}"] = diff(dec_v, codes0)
+    print(f"decode b={BATCH} [{tag}]:", results[f"decode_b{BATCH}_{tag}"])
+
 # ---- e2e at varying step counts ----
 e2e12 = diff(e2e_body(12, 2), audio0)
 results["e2e_12_2"] = e2e12

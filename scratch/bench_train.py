@@ -67,7 +67,14 @@ def main():
         def body(i, carry):
             state, key = carry
             key, k = jax.random.split(key)
-            state, _ = step(state, codec_params, cbs, audio, k)
+            # a fresh batch every iteration: roll the waveform by i samples.
+            # With loop-INVARIANT audio, XLA's loop-invariant code motion
+            # hoists the whole codec encode out of the fori_loop and the
+            # differential silently excludes it (how the "encode ~0.7 ms"
+            # myth happened); the roll itself is one cheap device copy.
+            state, _ = step(
+                state, codec_params, cbs, jnp.roll(audio, i, axis=1), k
+            )
             return state, key
 
         state, _ = jax.lax.fori_loop(0, iters, body, (state, key))

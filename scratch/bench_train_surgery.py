@@ -110,13 +110,13 @@ def main():
                 method="forward_codes",
             )
             if SURG == "nometrics":
+                # same gather-form CE as loss_and_metrics, minus the metrics
                 b, t, c, v = logits.shape
                 lf = logits.reshape(b, t * c, v)
-                lp = jax.nn.log_softmax(lf, axis=-1)
                 tgt = codebook_flatten(z)
-                oh = jax.nn.one_hot(tgt, v)
-                sm = oh * 0.9 + 0.1 / v
-                ce = -(sm * lp).sum(-1)
+                lse = jax.scipy.special.logsumexp(lf, axis=-1)
+                tl = jnp.take_along_axis(lf, tgt[..., None], axis=-1)[..., 0]
+                ce = lse - 0.9 * tl - 0.1 * lf.mean(-1)
                 w = flat_mask.astype(jnp.float32)
                 loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
                 return loss, {"loss": loss}
@@ -139,7 +139,12 @@ def main():
         def body(i, carry):
             state, key = carry
             key, k = jax.random.split(key)
-            state, _ = step(state, codec_params, cbs, audio, k)
+            # roll the waveform per iteration so the codec encode is NOT
+            # loop-invariant (XLA LICM would hoist it out of the measured
+            # loop otherwise; see bench_train.py)
+            state, _ = step(
+                state, codec_params, cbs, jnp.roll(audio, i, axis=1), k
+            )
             return state, key
 
         state, _ = jax.lax.fori_loop(0, iters, body, (state, key))

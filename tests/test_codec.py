@@ -14,8 +14,9 @@ SMALL = CodecConfig(
 )
 
 
+@pytest.mark.parametrize("impl", ["xla", "matmul"])
 @pytest.mark.parametrize("k,s,p,d", [(7, 1, 3, 1), (4, 2, 1, 1), (7, 1, 9, 3), (16, 8, 4, 1), (1, 1, 0, 1)])
-def test_wnconv1d_matches_torch(k, s, p, d):
+def test_wnconv1d_matches_torch(k, s, p, d, impl):
     import torch
 
     torch.manual_seed(0)
@@ -27,7 +28,7 @@ def test_wnconv1d_matches_torch(k, s, p, d):
     with torch.no_grad():
         y_ref = ref(x).numpy()
 
-    layer = WNConv1d(cout, kernel_size=k, stride=s, padding=p, dilation=d)
+    layer = WNConv1d(cout, kernel_size=k, stride=s, padding=p, dilation=d, impl=impl)
     xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
     params = layer.init(jax.random.PRNGKey(0), xj)["params"]
     params = {
@@ -41,8 +42,9 @@ def test_wnconv1d_matches_torch(k, s, p, d):
     )
 
 
+@pytest.mark.parametrize("impl", ["xla", "matmul"])
 @pytest.mark.parametrize("k,s,p", [(4, 2, 1), (16, 8, 4), (8, 4, 2)])
-def test_wnconvtranspose1d_matches_torch(k, s, p):
+def test_wnconvtranspose1d_matches_torch(k, s, p, impl):
     import torch
 
     torch.manual_seed(1)
@@ -54,7 +56,7 @@ def test_wnconvtranspose1d_matches_torch(k, s, p):
     with torch.no_grad():
         y_ref = ref(x).numpy()
 
-    layer = WNConvTranspose1d(cout, kernel_size=k, stride=s, padding=p)
+    layer = WNConvTranspose1d(cout, kernel_size=k, stride=s, padding=p, impl=impl)
     xj = jnp.asarray(x.numpy().transpose(0, 2, 1))
     params = {
         "v": jnp.asarray(ref.weight_v.detach().numpy()),
@@ -66,6 +68,31 @@ def test_wnconvtranspose1d_matches_torch(k, s, p):
     np.testing.assert_allclose(
         np.asarray(y).transpose(0, 2, 1), y_ref, atol=1e-4, rtol=1e-4
     )
+
+
+def test_conv_impl_matmul_full_codec_parity():
+    """The matmul conv schedule (im2col / framed / polyphase — the TPU fast
+    path, codec/layers.py) computes the same codec as the xla conv path on
+    shared params: identical codes, waveform equal to accumulation-order
+    rounding."""
+    import dataclasses
+
+    cfg_m = dataclasses.replace(SMALL, conv_impl="matmul")
+    model_x, model_m = LAC(SMALL), LAC(cfg_m)
+    t = SMALL.hop_length * 8
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, t, 1)) * 0.1
+    params = model_x.init(jax.random.PRNGKey(1), audio)["params"]
+
+    ox = model_x.apply({"params": params}, audio)
+    om = model_m.apply({"params": params}, audio)
+    assert (ox["codes"] == om["codes"]).all()
+    np.testing.assert_allclose(
+        np.asarray(ox["audio"]), np.asarray(om["audio"]), atol=2e-3
+    )
+    dx = model_x.apply({"params": params}, ox["codes"], method="decode_codes")
+    dm = model_m.apply({"params": params}, ox["codes"], method="decode_codes")
+    assert dx.shape == dm.shape
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dm), atol=2e-3)
 
 
 @pytest.fixture(scope="module")

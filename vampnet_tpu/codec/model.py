@@ -46,6 +46,10 @@ class CodecConfig:
     # conv compute dtype: "bfloat16" halves encode/decode HBM traffic; the
     # RVQ nearest-neighbor search always runs fp32 for code stability
     compute_dtype: str = "float32"
+    # conv computation schedule: "xla" = lax.conv (the transposed convs pay
+    # an 8x lhs-dilation FLOP penalty on the first decoder blocks);
+    # "matmul" = im2col / framed / polyphase MXU matmuls (codec/layers.py)
+    conv_impl: str = "xla"
 
     @property
     def hop_length(self) -> int:
@@ -62,15 +66,17 @@ class ResidualUnit(nn.Module):
     dim: int
     dilation: int = 1
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         pad = ((7 - 1) * self.dilation) // 2
         y = Snake1d(name="snake_1")(x)
         y = WNConv1d(self.dim, kernel_size=7, dilation=self.dilation, padding=pad,
-                     dtype=self.dtype, name="conv_1")(y)
+                     dtype=self.dtype, impl=self.impl, name="conv_1")(y)
         y = Snake1d(name="snake_2")(y)
-        y = WNConv1d(self.dim, kernel_size=1, dtype=self.dtype, name="conv_2")(y)
+        y = WNConv1d(self.dim, kernel_size=1, dtype=self.dtype, impl=self.impl,
+                     name="conv_2")(y)
         return x + y
 
 
@@ -78,16 +84,21 @@ class EncoderBlock(nn.Module):
     dim: int
     stride: int
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
-        x = ResidualUnit(self.dim // 2, dilation=1, dtype=self.dtype, name="res_1")(x)
-        x = ResidualUnit(self.dim // 2, dilation=3, dtype=self.dtype, name="res_2")(x)
-        x = ResidualUnit(self.dim // 2, dilation=9, dtype=self.dtype, name="res_3")(x)
+        ru = lambda dil, name: ResidualUnit(
+            self.dim // 2, dilation=dil, dtype=self.dtype, impl=self.impl, name=name
+        )
+        x = ru(1, "res_1")(x)
+        x = ru(3, "res_2")(x)
+        x = ru(9, "res_3")(x)
         x = Snake1d(name="snake")(x)
         x = WNConv1d(
             self.dim, kernel_size=2 * self.stride, stride=self.stride,
-            padding=math.ceil(self.stride / 2), dtype=self.dtype, name="conv",
+            padding=math.ceil(self.stride / 2), dtype=self.dtype, impl=self.impl,
+            name="conv",
         )(x)
         return x
 
@@ -100,12 +111,15 @@ class Encoder(nn.Module):
         cfg = self.config
         dt = jnp.dtype(cfg.compute_dtype)
         d = cfg.encoder_dim
-        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, name="conv_in")(x)
+        impl = cfg.conv_impl
+        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, impl=impl,
+                     name="conv_in")(x)
         for i, stride in enumerate(cfg.encoder_rates):
             d *= 2
-            x = EncoderBlock(d, stride, dtype=dt, name=f"block_{i}")(x)
+            x = EncoderBlock(d, stride, dtype=dt, impl=impl, name=f"block_{i}")(x)
         x = Snake1d(name="snake_out")(x)
-        x = WNConv1d(cfg.latent_dim, kernel_size=3, padding=1, dtype=dt, name="conv_out")(x)
+        x = WNConv1d(cfg.latent_dim, kernel_size=3, padding=1, dtype=dt, impl=impl,
+                     name="conv_out")(x)
         return x.astype(jnp.float32)
 
 
@@ -113,17 +127,23 @@ class DecoderBlock(nn.Module):
     output_dim: int
     stride: int
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
         x = Snake1d(name="snake")(x)
         x = WNConvTranspose1d(
             self.output_dim, kernel_size=2 * self.stride, stride=self.stride,
-            padding=math.ceil(self.stride / 2), dtype=self.dtype, name="conv_t",
+            padding=math.ceil(self.stride / 2), dtype=self.dtype, impl=self.impl,
+            name="conv_t",
         )(x)
-        x = ResidualUnit(self.output_dim, dilation=1, dtype=self.dtype, name="res_1")(x)
-        x = ResidualUnit(self.output_dim, dilation=3, dtype=self.dtype, name="res_2")(x)
-        x = ResidualUnit(self.output_dim, dilation=9, dtype=self.dtype, name="res_3")(x)
+        ru = lambda dil, name: ResidualUnit(
+            self.output_dim, dilation=dil, dtype=self.dtype, impl=self.impl,
+            name=name,
+        )
+        x = ru(1, "res_1")(x)
+        x = ru(3, "res_2")(x)
+        x = ru(9, "res_3")(x)
         return x
 
 
@@ -135,12 +155,16 @@ class Decoder(nn.Module):
         cfg = self.config
         dt = jnp.dtype(cfg.compute_dtype)
         d = cfg.decoder_dim
-        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, name="conv_in")(z)
+        impl = cfg.conv_impl
+        x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, impl=impl,
+                     name="conv_in")(z)
         for i, stride in enumerate(cfg.decoder_rates):
             out_dim = d // (2 ** (i + 1))
-            x = DecoderBlock(out_dim, stride, dtype=dt, name=f"block_{i}")(x)
+            x = DecoderBlock(out_dim, stride, dtype=dt, impl=impl,
+                             name=f"block_{i}")(x)
         x = Snake1d(name="snake_out")(x)
-        x = WNConv1d(1, kernel_size=7, padding=3, dtype=dt, name="conv_out")(x)
+        x = WNConv1d(1, kernel_size=7, padding=3, dtype=dt, impl=impl,
+                     name="conv_out")(x)
         return jnp.tanh(x.astype(jnp.float32))
 
 

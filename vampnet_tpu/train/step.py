@@ -139,10 +139,19 @@ def loss_and_metrics(
     logits_flat = logits.reshape(b, t * c, v)
     target_flat = codebook_flatten(target)
 
-    log_probs = jax.nn.log_softmax(logits_flat, axis=-1)
-    onehot = jax.nn.one_hot(target_flat, v)
-    smoothed = onehot * (1 - label_smoothing) + label_smoothing / v
-    ce = -(smoothed * log_probs).sum(-1)  # (b, t*c)
+    # gather-form smoothed CE — algebraically identical to
+    # -(onehot*(1-ls)+ls/v) . log_softmax but never materializes the dense
+    # (b, t*c, v) one-hot/smoothed/log-prob tensors (3 x 113 MB at coarse
+    # scale): CE = lse - (1-ls)*logit[target] - ls*mean(logits)
+    lse = jax.scipy.special.logsumexp(logits_flat, axis=-1)
+    tgt_logit = jnp.take_along_axis(
+        logits_flat, target_flat[..., None], axis=-1
+    )[..., 0]
+    ce = (
+        lse
+        - (1 - label_smoothing) * tgt_logit
+        - label_smoothing * logits_flat.mean(-1)
+    )  # (b, t*c)
 
     w = flat_mask.astype(jnp.float32)
     loss = (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
