@@ -300,6 +300,10 @@ def main():
         detail["serving_audio_s_per_s_per_chip"] = serving
         detail["serving_rounds"] = serving_rounds
         detail["serving_config"] = "16 concurrent 10s requests, max_batch=8"
+        # the engine contract is tokens (decode is the caller's stage — the
+        # webapp decodes per response); the single-stream p50 above DOES
+        # include codec encode+decode
+        detail["serving_scope"] = "coarse+c2f token generation (no decode)"
     print(
         json.dumps(
             {

@@ -14,6 +14,9 @@ inside ONE jitted program. Variants toggle one component each:
   SURG=nodrop      deterministic forward (no dropout masks)
   SURG=noopt       grads only, no AdamW update (params pass through)
   SURG=nocodec     pre-encoded codes (codec encode outside the loop)
+  SURG=noloss      loss = mean(logits) — ablates CE+metrics fwd+bwd
+  SURG=nohead      logits = slice of the trunk output — ablates the
+                   classifier matmul fwd+bwd (keeps CE shape/cost)
 
 Run: BENCH_RBG=1 SURG=... python scratch/bench_train_surgery.py
 """
@@ -103,12 +106,31 @@ def main():
         flat_mask = codebook_flatten(mask)
 
         def loss_fn(p):
+            if SURG == "nohead":
+                # trunk only; logits faked from a slice so CE cost is kept
+                # while the classifier matmul (fwd+bwd) is ablated
+                def trunk_fn(m, zm, cbs_):
+                    x = m.embedding(m.from_codes(zm, cbs_))
+                    return m.transformer(x, deterministic=False)
+
+                out = model.apply(
+                    {"params": p}, z_masked, cbs, method=trunk_fn,
+                    rngs={"dropout": k_drop},
+                )
+                v = model.config.vocab_size
+                logits = jnp.broadcast_to(
+                    out[..., None, :v], out.shape[:2] + (n_cb, v)
+                ).astype(jnp.float32)
+                return loss_and_metrics(logits, z, flat_mask, r)
             logits = model.apply(
                 {"params": p}, z_masked, cbs,
                 deterministic=(SURG == "nodrop"),
                 rngs=None if SURG == "nodrop" else {"dropout": k_drop},
                 method="forward_codes",
             )
+            if SURG == "noloss":
+                loss = logits.mean()
+                return loss, {"loss": loss}
             if SURG == "nometrics":
                 # same gather-form CE as loss_and_metrics, minus the metrics
                 b, t, c, v = logits.shape

@@ -95,6 +95,32 @@ def test_conv_impl_matmul_full_codec_parity():
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dm), atol=2e-3)
 
 
+def test_decoder_bf16_override_close_to_fp32():
+    """decoder_compute_dtype="bfloat16" decodes the same codes to a waveform
+    close to the fp32 decode (encode/codes are untouched by the override)."""
+    import dataclasses
+
+    cfg_b = dataclasses.replace(
+        SMALL, decoder_compute_dtype="bfloat16", conv_impl="matmul"
+    )
+    model_f, model_b = LAC(SMALL), LAC(cfg_b)
+    t = SMALL.hop_length * 8
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, t, 1)) * 0.1
+    params = model_f.init(jax.random.PRNGKey(1), audio)["params"]
+    codes = model_f.apply({"params": params}, audio, method="encode")["codes"]
+    codes_b = model_b.apply({"params": params}, audio, method="encode")["codes"]
+    assert (codes == codes_b).all()  # encode unaffected by the decoder knob
+    df = np.asarray(model_f.apply({"params": params}, codes, method="decode_codes"))
+    db = np.asarray(model_b.apply({"params": params}, codes, method="decode_codes"))
+    # a RANDOM-init decoder saturates its output tanh (|out| ~= 1 everywhere),
+    # so bf16 noise flips the sign of samples near zero-crossings and RMS
+    # error is dominated by those +-2 flips — correlation is the meaningful
+    # closeness measure at random init (trained decoders don't saturate)
+    corr = np.corrcoef(df.ravel(), db.ravel())[0, 1]
+    assert corr > 0.95, f"bf16 decode corr {corr:.4f}"
+    assert np.isfinite(db).all()
+
+
 @pytest.fixture(scope="module")
 def codec():
     model = LAC(SMALL)

@@ -217,3 +217,32 @@ def test_interface_quantize_opt_in(interface):
     params_before = iface.coarse.params
     assert iface.quantize() is iface
     assert iface.coarse.params is params_before
+
+
+def test_codec_overrides_file_ctor(interface, tmp_path):
+    """Interface(codec_overrides=...) flips runtime-only codec knobs
+    (conv_impl, decoder_compute_dtype) on a saved checkpoint without touching
+    the weights: encode codes are identical to the default schedule."""
+    from vampnet_tpu.checkpoints import save_codec, save_lm
+
+    save_codec(tmp_path / "codec.vtpu", CODEC_CFG, interface.codec_params)
+    save_lm(tmp_path / "coarse.vtpu", COARSE_CFG, interface.coarse.params)
+
+    iface_o = Interface(
+        coarse_ckpt=str(tmp_path / "coarse.vtpu"),
+        codec_ckpt=str(tmp_path / "codec.vtpu"),
+        codec_overrides={
+            "conv_impl": "matmul",
+            "decoder_compute_dtype": "bfloat16",
+        },
+    )
+    assert iface_o.codec_config.conv_impl == "matmul"
+    assert iface_o.codec_config.decoder_compute_dtype == "bfloat16"
+
+    sig = _sig(0.2)
+    np.testing.assert_array_equal(
+        np.asarray(iface_o.encode(sig)), np.asarray(interface.encode(sig))
+    )
+    # and the bf16 decoder produces a finite waveform
+    z = iface_o.encode(sig)
+    assert np.isfinite(np.asarray(iface_o.decode(z).samples)).all()

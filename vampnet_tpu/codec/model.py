@@ -50,6 +50,12 @@ class CodecConfig:
     # an 8x lhs-dilation FLOP penalty on the first decoder blocks);
     # "matmul" = im2col / framed / polyphase MXU matmuls (codec/layers.py)
     conv_impl: str = "xla"
+    # decoder-only dtype override: decode in bf16 while encode stays fp32 —
+    # the ENCODER's dtype decides the discrete codes (token parity with the
+    # reference); the decoder only shapes the waveform, where bf16 noise
+    # sits far below the codec's own reconstruction error. None = follow
+    # compute_dtype.
+    decoder_compute_dtype: str | None = None
 
     @property
     def hop_length(self) -> int:
@@ -153,7 +159,7 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z):  # (b, t/hop, latent_dim) -> (b, t, 1)
         cfg = self.config
-        dt = jnp.dtype(cfg.compute_dtype)
+        dt = jnp.dtype(cfg.decoder_compute_dtype or cfg.compute_dtype)
         d = cfg.decoder_dim
         impl = cfg.conv_impl
         x = WNConv1d(d, kernel_size=7, padding=3, dtype=dt, impl=impl,

@@ -95,9 +95,17 @@ class Interface:
         coarse_chunk_size_s: int = 10,
         coarse2fine_chunk_size_s: int = 3,
         compile: bool = True,
+        codec_overrides: Optional[Dict[str, Any]] = None,
     ):
         assert codec_ckpt is not None, "must provide a codec checkpoint"
         codec_cfg, codec_params = load_codec(codec_ckpt)
+        if codec_overrides:
+            # runtime-only knobs (conv_impl, decoder_compute_dtype, ...):
+            # they change the compiled schedule, never the weights, so they
+            # are legal to flip on any saved checkpoint
+            import dataclasses
+
+            codec_cfg = dataclasses.replace(codec_cfg, **codec_overrides)
         self._setup_codec(codec_cfg, codec_params)
         self.codec_path = Path(codec_ckpt)
 
