@@ -81,9 +81,15 @@ def _ref_model_from_ckpt(mod, path):
     ref = mod.VampNet(**kwargs)
     clean = {}
     for k, v in sd.items():
-        for pref in ("module.", "_orig_mod."):
-            while k.startswith(pref):
-                k = k[len(pref):]
+        # strip wrapper prefixes until none match: '_orig_mod.module.x'
+        # (torch.compile around DDP) needs alternating passes
+        stripped = True
+        while stripped:
+            stripped = False
+            for pref in ("module.", "_orig_mod."):
+                if k.startswith(pref):
+                    k = k[len(pref):]
+                    stripped = True
         clean[k] = v
     missing, unexpected = ref.load_state_dict(clean, strict=False)
     # lenient like the reference (interface.py:34,45) but surface surprises

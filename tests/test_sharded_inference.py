@@ -349,6 +349,23 @@ def test_sp_chunkfree_vamp_matches_unsharded_whole_seq():
     assert not np.array_equal(windowed, ref)  # windows see less context
 
 
+def test_shard_sp_reentry_keeps_nonring_twin():
+    """shard(sp=) twice must not adopt the ring LM as the windowed
+    (chunked=True) fallback, and a later shard(tp/dp) must restore the
+    non-ring coarse LM and clear the sp mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    iface = _iface()
+    iface.shard(sp=8)
+    iface.shard(sp=8)  # re-shard (e.g. reconfig)
+    assert iface.coarse.config.attention_impl == "ring"
+    assert iface._coarse_windowed.config.attention_impl != "ring"
+
+    iface.shard(tp=1)  # leave sp: back to the regular attention LM
+    assert iface.coarse.config.attention_impl != "ring"
+    assert iface._sp_mesh is None
+
+
 def test_sp_vamp_public_api_end_to_end():
     """Full vamp() through shard(sp=8): coarse goes chunk-free, c2f stays
     windowed; kept (unmasked) positions survive, output is in-vocab."""

@@ -65,6 +65,30 @@ def test_batchloader_shards_partition_the_global_batch(data_and_codec):
         BatchLoader(ds, 4, shard=(0, 3))  # 4 rows not divisible by 3 hosts
 
 
+def test_batchloader_multiworker_order_deterministic(data_and_codec):
+    """Batches must arrive in GLOBAL-INDEX order no matter how many workers
+    race: the multi-host contract (same batch k on every host, resume
+    alignment) depends on it."""
+    from vampnet_tpu.train.datasets import AudioDataset, AudioLoader, BatchLoader
+
+    root = data_and_codec
+    ds = AudioDataset(
+        AudioLoader(sources=[str(root / "train")]), sample_rate=8000,
+        duration=0.25, n_examples=16, loudness_cutoff=-60.0,
+    )
+    ref = list(iter(BatchLoader(ds, 2, num_workers=1)))
+    for workers in (2, 4):
+        got = list(iter(BatchLoader(ds, 2, num_workers=workers)))
+        assert len(got) == len(ref) == 8
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+    # start_idx fast-forward stays aligned too
+    resumed = list(iter(BatchLoader(ds, 2, num_workers=3, start_idx=4)))
+    assert len(resumed) == 6
+    for a, b in zip(ref[2:], resumed):
+        np.testing.assert_array_equal(a, b)
+
+
 def _args(root, save_path, **extra):
     return {
         "codec_ckpt": str(root / "codec.vtpu"),

@@ -45,7 +45,7 @@ def _conv1d_matmul(x, w, stride: int, padding: int, dilation: int):
     the same stride/padding/rhs_dilation."""
     b, t, c_in = x.shape
     c_out, _, k = w.shape
-    if k == 1 and stride == 1:
+    if k == 1 and stride == 1 and padding == 0:
         return x @ w[:, :, 0].T
     xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
     tp = xp.shape[1]

@@ -377,6 +377,13 @@ class Interface:
             assert tp == 1 and mesh is None, "sp is exclusive with tp/dp"
             return self._shard_sequence(sp)
 
+        if self.coarse.config.attention_impl == "ring":
+            # leaving an earlier shard(sp=): restore the non-ring coarse LM
+            # before laying out tp/dp (ring attention needs the sp mesh)
+            self.coarse = self._coarse_windowed
+            self._coarse_windowed = None
+            self._sp_mesh = None
+
         if mesh is None:
             mesh = make_mesh(tp=tp)
         self._mesh = mesh
@@ -427,8 +434,14 @@ class Interface:
         ring.params = jax.device_put(ring.params, rep)
         # chunked=True still works on an sp interface: the windowed path runs
         # this non-ring twin (same replicated params, regular attention —
-        # chunk shapes aren't divisible by the sp axis)
-        windowed = self.coarse
+        # chunk shapes aren't divisible by the sp axis). On a REPEATED
+        # shard(sp=) call self.coarse is already the ring LM — keep the
+        # existing non-ring twin instead of adopting a ring model as the
+        # "windowed" fallback.
+        if self.coarse.config.attention_impl == "ring":
+            windowed = self._coarse_windowed
+        else:
+            windowed = self.coarse
         windowed.params = ring.params
         self._coarse_windowed = windowed
         self.coarse = ring

@@ -336,11 +336,22 @@ def make_server(
     return server
 
 
-def serve_forever(interface, host: str = "127.0.0.1", port: int = 7860):
-    """Blocking entry point (mirrors gradio's default port)."""
-    server = make_server(interface, host, port)
+def serve_forever(
+    interface, host: str = "127.0.0.1", port: int = 7860, engine=None,
+    batched: bool = True,
+):
+    """Blocking entry point (mirrors gradio's default port). By default it
+    stands up a VampEngine so concurrent HTTP clients merge into shared
+    device batches; pass batched=False for the locked single-user path."""
+    if engine is None and batched:
+        from .engine import VampEngine
+
+        engine = VampEngine(interface)  # threads start in __init__
+    server = make_server(interface, host, port, engine=engine)
     print(f"vampnet-tpu web app at http://{host}:{server.server_address[1]}")
     try:
         server.serve_forever()
     finally:
         server.server_close()
+        if engine is not None:
+            engine.close()

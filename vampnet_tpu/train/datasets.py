@@ -9,7 +9,6 @@ pool so the TPU step never waits on IO. Batches are fixed-shape numpy arrays
 """
 from __future__ import annotations
 
-import queue
 import threading
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence
@@ -146,21 +145,29 @@ class BatchLoader:
         self.shard = (pid, n_proc)
 
     def __iter__(self) -> Iterator[np.ndarray]:
-        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        # Workers build slabs concurrently but the consumer emits them in
+        # GLOBAL-INDEX order (a reassembly window, not a completion-order
+        # queue): batch k is always the same rows on every host and every
+        # run, which the multi-host contract (shard= + host-identical step
+        # keys in train/loop.py) depends on.
         stop = threading.Event()
-        idx_lock = threading.Lock()
-        next_idx = [self.start_idx]
+        cond = threading.Condition()
+        ready: dict = {}
+        next_claim = [self.start_idx]  # next slab a worker builds
+        next_emit = [self.start_idx]  # next slab the consumer yields
 
         pid, n_proc = self.shard
         local_bs = self.batch_size // n_proc
+        window = max(1, self.prefetch) * self.batch_size
 
         def worker():
             while not stop.is_set():
-                with idx_lock:
-                    lo_global = next_idx[0]
-                    next_idx[0] += self.batch_size
-                if lo_global >= len(self.dataset):
-                    break
+                with cond:
+                    lo_global = next_claim[0]
+                    if lo_global >= len(self.dataset):
+                        cond.notify_all()
+                        return
+                    next_claim[0] += self.batch_size
                 lo = lo_global + pid * local_bs
                 sigs = []
                 for i in range(lo, lo + local_bs):
@@ -173,21 +180,37 @@ class BatchLoader:
                         for s in sigs
                     ]
                 )[..., None].astype(np.float32)
-                try:
-                    q.put(batch, timeout=30)
-                except queue.Full:  # consumer gone
-                    break
+                with cond:
+                    # bound memory: don't run further than `prefetch` slabs
+                    # ahead of the consumer (the slab == next_emit always
+                    # passes, so the lowest outstanding slab never blocks)
+                    while (
+                        not stop.is_set()
+                        and lo_global >= next_emit[0] + window
+                    ):
+                        cond.wait(timeout=1)
+                    if stop.is_set():
+                        return
+                    ready[lo_global] = batch
+                    cond.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True) for _ in range(self.num_workers)]
         for t in threads:
             t.start()
         try:
-            alive = lambda: any(t.is_alive() for t in threads)
-            while alive() or not q.empty():
-                try:
-                    yield q.get(timeout=1)
-                except queue.Empty:
-                    if not alive():
+            while next_emit[0] < len(self.dataset):
+                with cond:
+                    while next_emit[0] not in ready:
+                        if not any(t.is_alive() for t in threads):
+                            break
+                        cond.wait(timeout=1)
+                    if next_emit[0] not in ready:
                         break
+                    batch = ready.pop(next_emit[0])
+                    next_emit[0] += self.batch_size
+                    cond.notify_all()
+                yield batch
         finally:
             stop.set()
+            with cond:
+                cond.notify_all()

@@ -185,13 +185,23 @@ def train(args: dict, seed: int = 0) -> TrainState:
 
     # ----- mesh + shardings -----
     tp = int(args.get("mesh.tp", 1) or 1)
+    n_proc_mesh = jax.process_count()
     dp_req = args.get("mesh.dp")
     if dp_req is None:
-        # largest dp that divides the batch (unused devices are dropped)
+        # largest dp that divides the batch (unused devices are dropped —
+        # single-host only, see below)
         dp_req = len(jax.devices()) // tp
         while dp_req > 1 and batch_size % dp_req != 0:
             dp_req -= 1
     dp_req = int(dp_req)
+    if n_proc_mesh > 1 and dp_req * tp != len(jax.devices()):
+        # dropping devices multi-host would leave hosts with unequal mesh
+        # slices and break make_array_from_process_local_data's row layout
+        raise ValueError(
+            f"multi-host mesh must use every device: dp*tp = {dp_req}*{tp} "
+            f"!= {len(jax.devices())} global devices (pick batch_size/"
+            "mesh.dp/mesh.tp so they multiply out)"
+        )
     mesh = make_mesh(n_devices=dp_req * tp, dp=dp_req, tp=tp)
     dp = mesh.shape["dp"]
     assert batch_size % dp == 0, f"batch_size {batch_size} not divisible by dp {dp}"
@@ -332,17 +342,20 @@ def train(args: dict, seed: int = 0) -> TrainState:
             t_last = time.time()
             tracker.print_status("train", extra=f"{50/dt:.2f} it/s")
 
-        if (step_i + 1) % sample_freq == 0 and is_main:
+        if (step_i + 1) % sample_freq == 0:
+            # EVERY process runs the sample-generation compute (the params
+            # are sharded over the global mesh, so the SPMD programs need
+            # all hosts); only rank 0 writes the files/TB entries
             save_samples(
                 lm, lm_cfg, state.params, codec, codec_params, codebooks,
-                jnp.asarray(batch), save_path, tracker, step_i + 1,
-                controller=controller,
+                audio, save_path, tracker, step_i + 1,
+                controller=controller, is_main=is_main,
             )
 
         if (step_i + 1) % val_freq == 0:
             val_metrics = validate(
                 eval_step, state.params, codec_params, codebooks, val_data,
-                batch_size, val_rng,
+                batch_size, val_rng, shard=(pid, n_proc), to_global=to_global,
             )
             tracker.log("val", val_metrics)
             tracker.print_status("val")
@@ -362,11 +375,15 @@ def train(args: dict, seed: int = 0) -> TrainState:
 
 def save_samples(
     lm, lm_cfg, params, codec, codec_params, codebooks, audio, save_path,
-    tracker, step, n_save=4, controller=None,
+    tracker, step, n_save=4, controller=None, is_main=True,
 ):
     """Audio demos every sample_freq steps (reference train.py:439-534):
     reconstruction, inpainted prompt (mask -> silence), and generate-filled
-    inpainting, written as wavs + logged to TensorBoard when available."""
+    inpainting, written as wavs + logged to TensorBoard when available.
+
+    Multi-host: called by EVERY process (params live on the global mesh, so
+    each compute below is an SPMD program all hosts must join); file/TB
+    writes are rank-0-only via `is_main`."""
     from ..audio import AudioSignal
     from ..sampling.generate import generate as _generate
 
@@ -415,6 +432,18 @@ def save_samples(
         "inpainted_prompt": decode(z_masked),
         "inpainted_middle": decode(imputed),
     }
+    multi = jax.process_count() > 1
+    if multi:
+        # fetch the globally-sharded outputs to host numpy on every process
+        # (a collective — all hosts reach it together), THEN gate the writes
+        from jax.experimental import multihost_utils
+
+        outs = {
+            k: multihost_utils.process_allgather(v, tiled=True)
+            for k, v in outs.items()
+        }
+    if not is_main:
+        return
     sample_dir = Path(save_path) / "samples" / f"step_{step}"
     for name, wavs in outs.items():
         wavs = np.asarray(wavs)
@@ -427,15 +456,24 @@ def save_samples(
             tracker.log_audio(f"{name}/{i}", wavs[i], codec.config.sample_rate, step)
 
 
-def validate(eval_step, params, codec_params, codebooks, val_data, batch_size, rng, n_batches=4):
+def validate(
+    eval_step, params, codec_params, codebooks, val_data, batch_size, rng,
+    n_batches=4, shard=(0, 1), to_global=None,
+):
+    """Host-identical validation: the loader shards the SAME global batches
+    across processes (BatchLoader yields slabs in global-index order) and
+    the keys come from the host-identical val_rng, so every host computes
+    the same val loss and `tracker.is_best` cannot diverge into/out of the
+    collective 'best' save."""
     out = {}
     count = 0
-    loader = BatchLoader(val_data, batch_size, num_workers=2)
+    loader = BatchLoader(val_data, batch_size, num_workers=2, shard=shard)
     for i, batch in enumerate(loader):
         if i >= n_batches:
             break
         key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-        m = eval_step(params, codec_params, codebooks, jnp.asarray(batch), key)
+        batch = to_global(batch) if to_global is not None else jnp.asarray(batch)
+        m = eval_step(params, codec_params, codebooks, batch, key)
         for k, v in m.items():
             out[k] = out.get(k, 0.0) + float(v)
         count += 1
