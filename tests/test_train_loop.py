@@ -168,3 +168,40 @@ def test_finetune_lora_only(data_and_codec, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(v), np.asarray(base_flat[k]), err_msg=str(k)
         )
+
+
+def test_async_checkpoint_saves_commit_and_restore(tmp_path):
+    """async_save=True defers the orbax disk commit: back-to-back saves of
+    the SAME tag must settle the in-flight write before clearing the tag dir,
+    and has_tag/restore must see the committed tree (train/checkpoints.py)."""
+    from vampnet_tpu.modules import LMConfig
+    from vampnet_tpu.train.checkpoints import CheckpointManager
+    from vampnet_tpu.train.step import TrainState
+
+    lm_cfg = LMConfig(
+        n_heads=2, n_layers=1, n_codebooks=2, latent_dim=4,
+        embedding_dim=32, vocab_size=32,
+    )
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    mk = lambda step, scale: TrainState(
+        jax.tree.map(lambda a: a * scale, params),
+        {"mu": jnp.full((4,), scale)},
+        jnp.asarray(step),
+    )
+
+    ckpt = CheckpointManager(tmp_path / "run", async_save=True)
+    ckpt.save("latest", mk(1, 1.0), lm_cfg, tracker_state={"k": 1})
+    ckpt.save("latest", mk(2, 2.0), lm_cfg, tracker_state={"k": 2})
+    ckpt.save("best", mk(2, 2.0), lm_cfg)
+    assert ckpt.has_tag("latest") and ckpt.has_tag("best")
+
+    tree, tracker_state = ckpt.restore("latest", mk(0, 0.0))
+    assert tracker_state == {"k": 2}
+    assert int(tree["step"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"]["dense"]["kernel"]), 2.0 * np.ones((4, 4))
+    )
+    np.testing.assert_array_equal(np.asarray(tree["opt_state"]["mu"]), 2.0)
+    # the inference-ready extra rode along
+    cfg, _ = load_lm(tmp_path / "run" / "latest" / "model.vtpu")
+    assert cfg.vocab_size == 32

@@ -31,9 +31,17 @@ from ..modules.lora import lora_state_dict
 
 
 class CheckpointManager:
-    def __init__(self, save_path: str, is_main: bool = True):
+    def __init__(
+        self, save_path: str, is_main: bool = True, async_save: bool = False
+    ):
         self.root = Path(save_path).absolute()
         self.is_main = is_main
+        # orbax's StandardCheckpointer IS an AsyncCheckpointer: save()
+        # returns once the state is copied to host memory (so donated device
+        # buffers are immediately reusable) and the disk write drains on a
+        # background thread. async_save=True defers wait_until_finished() to
+        # the next save()/explicit wait, overlapping the write with training.
+        self.async_save = async_save
         self._ckptr = ocp.StandardCheckpointer()
 
     def save(
@@ -44,6 +52,10 @@ class CheckpointManager:
         tracker_state: Optional[dict] = None,
         fine_tune: bool = False,
     ):
+        # settle any in-flight async write BEFORE touching directories: a
+        # previous save of this same tag may still be streaming into
+        # state_dir's tmp path, and orbax serializes saves on one thread
+        self._ckptr.wait_until_finished()
         tag_dir = self.root / tag
         state_dir = tag_dir / "state"
         if self.is_main:
@@ -59,18 +71,26 @@ class CheckpointManager:
             multihost_utils.sync_global_processes(f"ckpt-save-{tag}")
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
         self._ckptr.save(state_dir, tree)
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
         if not self.is_main:
             return
+        # host-side extras are written now (they host-pull params anyway),
+        # so only the orbax tree write rides the background thread
         if tracker_state is not None:
             (tag_dir / "tracker.json").write_text(json.dumps(tracker_state))
         save_lm(tag_dir / "model.vtpu", lm_config, state.params)
         if fine_tune:
             save_lora(tag_dir / "lora.vtpu", lora_state_dict(state.params))
 
+    def wait_until_finished(self):
+        """Block until any in-flight async save has committed to disk."""
+        self._ckptr.wait_until_finished()
+
     def restore(self, tag: str, abstract_state) -> tuple:
         """Returns (state_tree, tracker_state|None). `abstract_state` carries
         shapes/dtypes/shardings for sharded restore."""
+        self._ckptr.wait_until_finished()
         tag_dir = self.root / tag
         abstract = {
             "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state.params),
@@ -87,4 +107,7 @@ class CheckpointManager:
         return tree, tracker_state
 
     def has_tag(self, tag: str) -> bool:
+        # an async save commits (tmp-dir rename) only at finalize: settle
+        # first so a just-saved tag is visible
+        self._ckptr.wait_until_finished()
         return (self.root / tag / "state").exists()

@@ -276,7 +276,13 @@ def train(args: dict, seed: int = 0) -> TrainState:
         log_dir=str(save_path / "tb"), log_file=str(save_path / "metrics.jsonl"),
         rank=0 if is_main else 1,
     )
-    ckpt = CheckpointManager(save_path, is_main=is_main)
+    # async saves overlap the orbax disk write with subsequent train steps
+    # (the state is host-copied before save() returns, so the donated device
+    # buffers are safe); save_async: false opts back into blocking saves
+    ckpt = CheckpointManager(
+        save_path, is_main=is_main,
+        async_save=bool(args.get("save_async", True)),
+    )
     if resume and ckpt.has_tag(tag):
         tree, tracker_state = ckpt.restore(tag, state)
         state = TrainState(tree["params"], tree["opt_state"], tree["step"])
@@ -369,6 +375,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
                 )
 
     ckpt.save("latest", state, lm_cfg, tracker.state_dict(), fine_tune)
+    ckpt.wait_until_finished()
     tracker.close()
     return state
 
