@@ -40,25 +40,26 @@ BATCH = 2
 cp = iface.codec_params
 
 
-def chained_wall(make_body, x0, n, reps=2):
+def diff(make_body, x0, lo=2, hi=8, reps=2):
+    # ONE jitted dynamic-trip program serves both iteration counts (ADVICE
+    # r3: building prog inside the timer compiled the identical program
+    # twice per variant through the ~13 s/op remote-compile service)
     @jax.jit
     def prog(x, iters):
         return jax.lax.fori_loop(0, iters, make_body, x)
 
-    out = prog(x0, jnp.int32(n))
-    jax.tree_util.tree_map(np.asarray, out)
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
+    def wall(n):
         out = prog(x0, jnp.int32(n))
         jax.tree_util.tree_map(np.asarray, out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = prog(x0, jnp.int32(n))
+            jax.tree_util.tree_map(np.asarray, out)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-
-def diff(make_body, x0, lo=2, hi=8):
-    wl, wh = chained_wall(make_body, x0, lo), chained_wall(make_body, x0, hi)
-    return (wh - wl) / (hi - lo)
+    return (wall(hi) - wall(lo)) / (hi - lo)
 
 
 t_samples = int(10.0 * codec_cfg.sample_rate)

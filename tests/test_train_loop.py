@@ -205,3 +205,59 @@ def test_async_checkpoint_saves_commit_and_restore(tmp_path):
     # the inference-ready extra rode along
     cfg, _ = load_lm(tmp_path / "run" / "latest" / "model.vtpu")
     assert cfg.vocab_size == 32
+    # committed replacements reaped their preserved state.prev dirs
+    assert not (tmp_path / "run" / "latest" / "state.prev").exists()
+
+
+def test_checkpoint_crash_window_preserves_previous_state(tmp_path):
+    """A crash between clearing the old tag state and the new orbax commit
+    must leave the tag restorable from the preserved state.prev/ (ADVICE r3:
+    the old save() rmtree'd the only committed copy before the async write
+    finished, so a crash silently restarted training)."""
+    import shutil
+
+    from vampnet_tpu.modules import LMConfig
+    from vampnet_tpu.train.checkpoints import CheckpointManager
+    from vampnet_tpu.train.step import TrainState
+
+    lm_cfg = LMConfig(
+        n_heads=2, n_layers=1, n_codebooks=2, latent_dim=4,
+        embedding_dim=32, vocab_size=32,
+    )
+    params = {"dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.zeros((4,))}}
+    mk = lambda step, scale: TrainState(
+        jax.tree.map(lambda a: a * scale, params),
+        {"mu": jnp.full((4,), scale)},
+        jnp.asarray(step),
+    )
+
+    run = tmp_path / "run"
+    ckpt = CheckpointManager(run, async_save=True)
+    ckpt.save("latest", mk(1, 1.0), lm_cfg, tracker_state={"k": 1})
+    ckpt.wait_until_finished()
+
+    # simulate the crash window of save #2: the committed tree was renamed
+    # to state.prev (with its tracker snapshot), the host-side extras were
+    # already rewritten, but the new orbax write never committed
+    tag_dir = run / "latest"
+    shutil.copyfile(tag_dir / "tracker.json", tag_dir / "tracker.json.prev")
+    (tag_dir / "state").rename(tag_dir / "state.prev")
+    (tag_dir / "tracker.json").write_text('{"k": 2}')
+
+    fresh = CheckpointManager(run, async_save=True)  # post-crash process
+    assert fresh.has_tag("latest")
+    tree, tracker_state = fresh.restore("latest", mk(0, 0.0))
+    assert int(tree["step"]) == 1
+    assert tracker_state == {"k": 1}  # the snapshot paired with state.prev
+    np.testing.assert_array_equal(
+        np.asarray(tree["params"]["dense"]["kernel"]), np.ones((4, 4))
+    )
+
+    # the next successful save supersedes and reaps the preserved copy
+    fresh.save("latest", mk(3, 3.0), lm_cfg, tracker_state={"k": 3})
+    fresh.wait_until_finished()
+    assert (tag_dir / "state").exists()
+    assert not (tag_dir / "state.prev").exists()
+    assert not (tag_dir / "tracker.json.prev").exists()
+    tree, tracker_state = fresh.restore("latest", mk(0, 0.0))
+    assert int(tree["step"]) == 3 and tracker_state == {"k": 3}

@@ -15,6 +15,14 @@ train state is a COLLECTIVE — every process participates, with `save_path`
 on shared storage; only the host-side extras (tracker.json, model.vtpu,
 lora.vtpu) are rank-0-gated (reference counterpart: ZeRO consolidation to
 rank 0 + rank-0 writes, train.py:376-385).
+
+Crash safety: a tag's last committed state tree is NEVER destroyed before
+its replacement commits. save() renames `state/` -> `state.prev/` (with a
+paired `tracker.json.prev` snapshot) instead of deleting it; the prev copy
+is removed only after orbax finalizes the new write (its atomic
+tmp-dir -> `state/` rename). A crash in the async-write window therefore
+leaves `state.prev/` restorable — has_tag()/restore() fall back to it —
+instead of silently restarting training from scratch.
 """
 from __future__ import annotations
 
@@ -43,6 +51,27 @@ class CheckpointManager:
         # the next save()/explicit wait, overlapping the write with training.
         self.async_save = async_save
         self._ckptr = ocp.StandardCheckpointer()
+        # tags whose old `state.prev/` awaits deletion once the new
+        # `state/` commits (async writes commit on a background thread)
+        self._pending_prev: list[Path] = []
+
+    def _reap_committed_prev(self):
+        """Delete preserved state.prev/ dirs whose replacement committed.
+        Call only AFTER wait_until_finished() — orbax's atomic tmp->final
+        rename is what makes `state/` existing mean 'committed'."""
+        if not self.is_main:
+            self._pending_prev.clear()
+            return
+        remaining = []
+        for prev in self._pending_prev:
+            if (prev.parent / "state").exists():
+                shutil.rmtree(prev, ignore_errors=True)
+                tprev = prev.parent / "tracker.json.prev"
+                if tprev.exists():
+                    tprev.unlink()
+            else:
+                remaining.append(prev)
+        self._pending_prev = remaining
 
     def save(
         self,
@@ -56,12 +85,26 @@ class CheckpointManager:
         # previous save of this same tag may still be streaming into
         # state_dir's tmp path, and orbax serializes saves on one thread
         self._ckptr.wait_until_finished()
+        self._reap_committed_prev()
         tag_dir = self.root / tag
         state_dir = tag_dir / "state"
+        prev_dir = tag_dir / "state.prev"
         if self.is_main:
-            if state_dir.exists():
-                shutil.rmtree(state_dir)
             tag_dir.mkdir(parents=True, exist_ok=True)
+            if state_dir.exists():
+                # preserve the committed tree until the new write commits: a
+                # crash mid-(async)-write must not destroy the only copy
+                if prev_dir.exists():
+                    shutil.rmtree(prev_dir)
+                state_dir.rename(prev_dir)
+                tpath = tag_dir / "tracker.json"
+                if tpath.exists():
+                    shutil.copyfile(tpath, tag_dir / "tracker.json.prev")
+                self._pending_prev.append(prev_dir)
+            elif prev_dir.exists():
+                # crash leftover from a previous process: keep it as the
+                # fallback until THIS save commits, then reap it
+                self._pending_prev.append(prev_dir)
         if jax.process_count() > 1:
             # ZeRO-1 shards the Adam moments over the global dp axis, so the
             # orbax save below is a collective: barrier so no process starts
@@ -73,6 +116,7 @@ class CheckpointManager:
         self._ckptr.save(state_dir, tree)
         if not self.async_save:
             self._ckptr.wait_until_finished()
+            self._reap_committed_prev()
         if not self.is_main:
             return
         # host-side extras are written now (they host-pull params anyway),
@@ -86,11 +130,15 @@ class CheckpointManager:
     def wait_until_finished(self):
         """Block until any in-flight async save has committed to disk."""
         self._ckptr.wait_until_finished()
+        self._reap_committed_prev()
 
     def restore(self, tag: str, abstract_state) -> tuple:
         """Returns (state_tree, tracker_state|None). `abstract_state` carries
-        shapes/dtypes/shardings for sharded restore."""
+        shapes/dtypes/shardings for sharded restore. Falls back to the
+        preserved `state.prev/` (+ its paired tracker snapshot) when a crash
+        interrupted the previous save before its commit."""
         self._ckptr.wait_until_finished()
+        self._reap_committed_prev()
         tag_dir = self.root / tag
         abstract = {
             "params": jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state.params),
@@ -99,9 +147,14 @@ class CheckpointManager:
             ),
             "step": ocp.utils.to_shape_dtype_struct(abstract_state.step),
         }
-        tree = self._ckptr.restore(tag_dir / "state", abstract)
-        tracker_state = None
+        state_dir = tag_dir / "state"
         tpath = tag_dir / "tracker.json"
+        if not state_dir.exists() and (tag_dir / "state.prev").exists():
+            state_dir = tag_dir / "state.prev"
+            if (tag_dir / "tracker.json.prev").exists():
+                tpath = tag_dir / "tracker.json.prev"
+        tree = self._ckptr.restore(state_dir, abstract)
+        tracker_state = None
         if tpath.exists():
             tracker_state = json.loads(tpath.read_text())
         return tree, tracker_state
@@ -110,4 +163,5 @@ class CheckpointManager:
         # an async save commits (tmp-dir rename) only at finalize: settle
         # first so a just-saved tag is visible
         self._ckptr.wait_until_finished()
-        return (self.root / tag / "state").exists()
+        tag_dir = self.root / tag
+        return (tag_dir / "state").exists() or (tag_dir / "state.prev").exists()

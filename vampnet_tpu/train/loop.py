@@ -276,12 +276,15 @@ def train(args: dict, seed: int = 0) -> TrainState:
         log_dir=str(save_path / "tb"), log_file=str(save_path / "metrics.jsonl"),
         rank=0 if is_main else 1,
     )
-    # async saves overlap the orbax disk write with subsequent train steps
-    # (the state is host-copied before save() returns, so the donated device
-    # buffers are safe); save_async: false opts back into blocking saves
+    # `save_async: true` (explicit opt-in, documented in configs/vampnet.yml)
+    # overlaps the orbax disk write with subsequent train steps — the state
+    # is host-copied before save() returns, so the donated device buffers are
+    # safe, and the previously committed tree is preserved as state.prev/
+    # until the new write commits (CheckpointManager crash-safety contract).
+    # Default is blocking saves: save() returns with the tag durable on disk.
     ckpt = CheckpointManager(
         save_path, is_main=is_main,
-        async_save=bool(args.get("save_async", True)),
+        async_save=bool(args.get("save_async", False)),
     )
     if resume and ckpt.has_tag(tag):
         tree, tracker_state = ckpt.restore(tag, state)
@@ -348,7 +351,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
             t_last = time.time()
             tracker.print_status("train", extra=f"{50/dt:.2f} it/s")
 
-        if (step_i + 1) % sample_freq == 0:
+        if sample_freq and (step_i + 1) % sample_freq == 0:
             # EVERY process runs the sample-generation compute (the params
             # are sharded over the global mesh, so the SPMD programs need
             # all hosts); only rank 0 writes the files/TB entries
@@ -358,7 +361,7 @@ def train(args: dict, seed: int = 0) -> TrainState:
                 controller=controller, is_main=is_main,
             )
 
-        if (step_i + 1) % val_freq == 0:
+        if val_freq and (step_i + 1) % val_freq == 0:
             val_metrics = validate(
                 eval_step, state.params, codec_params, codebooks, val_data,
                 batch_size, val_rng, shard=(pid, n_proc), to_global=to_global,
