@@ -27,19 +27,38 @@ def _default_repo() -> str:
     return DEFAULT_HF_MODEL_REPO
 
 
+def _clean_download_residue(base: Path, filename: str) -> None:
+    """Remove partial-download residue a failed/killed hf_hub_download leaves
+    under `<base>/.cache/huggingface` (`*.lock` files and `*.incomplete`
+    blobs). Harmless to loading — `local_path.exists()` only sees committed
+    files — but stale locks can wedge a RETRY of the same download, which is
+    exactly what weight day does after a transient network failure."""
+    cache = base / ".cache" / "huggingface"
+    if not cache.exists():
+        return
+    stem = Path(filename).name
+    for pattern in (f"**/{stem}*.lock", f"**/{stem}*.incomplete"):
+        for p in cache.glob(pattern):
+            try:
+                p.unlink()
+            except OSError:
+                pass
+
+
 def _hub_download(repo_id: str, filename: str, local_path: Path) -> str:
     if local_path.exists():
         return str(local_path)
+    # hf_hub_download preserves the full `filename` path under local_dir,
+    # so local_dir must be the base that makes local_dir/filename equal
+    # local_path (nested names like loras/<name>/coarse.pth included)
+    base = Path(str(local_path)[: -len(filename)].rstrip("/"))
     try:
         from huggingface_hub import hf_hub_download
 
         local_path.parent.mkdir(parents=True, exist_ok=True)
-        # hf_hub_download preserves the full `filename` path under local_dir,
-        # so local_dir must be the base that makes local_dir/filename equal
-        # local_path (nested names like loras/<name>/coarse.pth included)
-        base = Path(str(local_path)[: -len(filename)].rstrip("/"))
         return hf_hub_download(repo_id=repo_id, filename=filename, local_dir=base)
-    except Exception as e:  # pragma: no cover - network-dependent
+    except Exception as e:
+        _clean_download_residue(base, filename)
         raise FileNotFoundError(
             f"checkpoint {local_path} not found locally and hub download of "
             f"{repo_id}/{filename} failed: {e}"
