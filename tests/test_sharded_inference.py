@@ -417,3 +417,92 @@ def test_vamp_microbatched_grouping_invariance():
     piped = np.asarray(iface.vamp_microbatched(z, mask, group_chunks=2, **kw))
     agree = (piped == one_shot).mean()
     assert agree > 0.98, f"only {agree:.3f} of tokens agree under pipeline"
+
+
+# ---------------- sp API contract (VERDICT r3 item 8) ----------------
+
+
+def test_sp_rejects_fused_sampler_explicitly():
+    """Under shard(sp=) the fused Pallas sampler is swapped for the xla
+    sampler (per-core pltpu PRNG cannot ride a shard_map). An EXPLICIT
+    sampler_impl="fused" must raise, not silently de-shard — the swap is
+    documented API contract in shard()'s docstring."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    iface = _iface()
+    iface.shard(sp=8)
+    z = iface.encode(_sig())
+    mask = iface.build_mask(z, periodic_prompt=5, upper_codebook_mask=1, seed=0)
+    with pytest.raises(NotImplementedError, match="sampler_impl"):
+        iface.coarse_vamp(z, mask, seed=0, _sampling_steps=2, sampler_impl="fused")
+    # 'auto' and 'xla' both route to the xla sampler and run
+    out = np.asarray(
+        iface.coarse_vamp(z, mask, seed=0, _sampling_steps=2, sampler_impl="xla")
+    )
+    assert out.shape == np.asarray(z).shape
+
+
+def test_sp_engine_serving_matches_solo():
+    """VampEngine in DEFAULT mode over an sp-sharded interface: each request
+    batch runs sequence-parallel over the whole mesh, and tokens EXACTLY
+    equal the solo sp coarse_vamp with the same per-row seed: the engine
+    buckets sp requests on the interface's sp_pad_len grid (not the coarse
+    chunk grid), so engine and solo run the same-length generate program —
+    chunk-grid pre-padding would change the sequence length and the tokens.
+    fp32 compute + deterministic regime keeps the comparison bit-stable."""
+    import dataclasses
+
+    from vampnet_tpu.serve import VampEngine, VampRequest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    iface = _iface()
+    iface.coarse = type(iface.coarse)(
+        dataclasses.replace(iface.coarse.config, compute_dtype="float32"),
+        iface.coarse.params, iface.coarse.chunk_size_s, inference_dtype=None,
+    )
+    iface.shard(sp=8)
+    z = np.asarray(iface.encode(_sig()))
+    mask = np.asarray(iface.build_mask(jnp.asarray(z), seed=0))
+
+    det = dict(
+        temperature=1.0, mask_temperature=0.0, typical_filtering=False,
+        sample_cutoff=-1.0,
+    )
+    solo = {}
+    for seed in (3, 4):
+        solo[seed] = np.asarray(
+            iface.coarse_vamp(
+                jnp.asarray(z), jnp.asarray(mask),
+                seed=np.array([seed], np.uint32), _sampling_steps=2, **det,
+            )
+        )
+
+    eng = VampEngine(iface, max_wait_ms=200.0, max_batch=4)
+    futs = [
+        eng.submit(
+            VampRequest(codes=z, mask=mask, seed=s, coarse_only=True,
+                        sampling_steps=2, **det)
+        )
+        for s in (3, 4)
+    ]
+    outs = [f.result(240) for f in futs]
+    eng.close()
+    for s, o in zip((3, 4), outs):
+        np.testing.assert_array_equal(o, solo[s])
+
+
+def test_sp_engine_rejects_data_parallel():
+    """data_parallel serving needs a dp mesh; an sp interface has none —
+    even when a dp/tp shard() happened EARLIER (the sp switch clears the
+    stale mesh so this fails loudly instead of mis-sharding)."""
+    from vampnet_tpu.serve import VampEngine
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    iface = _iface()
+    iface.shard(tp=1)  # leaves a dp mesh behind
+    iface.shard(sp=8)
+    assert iface._mesh is None
+    with pytest.raises(AssertionError, match="data_parallel"):
+        VampEngine(iface, data_parallel=True)

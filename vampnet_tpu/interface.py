@@ -365,6 +365,21 @@ class Interface:
             its 3 s windows (it refines locally by construction). sp is
             exclusive with tp/dp.
 
+        sp-mode API contract (differences from single-chip / tp / dp):
+          * the fused Pallas sampler is replaced by the xla sampler (the
+            pltpu PRNG stream is per-core and cannot ride a shard_map);
+            tokens therefore match the xla-sampler stream, not the fused
+            single-chip stream. Passing sampler_impl="fused" raises
+            NotImplementedError instead of silently de-sharding.
+          * sketch2sound ctrls are not supported under sp (the CFG
+            cond/uncond batch doubling does not commute with the time-axis
+            shard_map); generate() asserts them off.
+          * serve.VampEngine composes with sp in its DEFAULT mode: each
+            request batch runs sequence-parallel over the whole mesh
+            (throughput ~ single-chip, latency cut for long requests).
+            data_parallel=True requires a dp mesh from shard(tp/dp) and is
+            rejected on an sp interface (no "dp" axis).
+
         GSPMD propagates the layouts through the jitted generate programs —
         no generate-code changes. Compiled programs are dropped so the next
         call re-specializes to the sharded layouts.
@@ -423,6 +438,11 @@ class Interface:
 
         mesh = make_sp_mesh(n_devices=sp, devices=devices)
         self._sp_mesh = mesh
+        # a dp/tp mesh from an earlier shard() must not leak into sp mode:
+        # the engine's data_parallel=True keys off _mesh, and sharding
+        # request rows over a stale "dp" axis would fight the time-axis
+        # shard_map. Clearing it makes dp serving fail loudly instead.
+        self._mesh = None
         ring_cfg = dataclasses.replace(
             self.coarse.config, attention_impl="ring"
         )
@@ -892,6 +912,20 @@ class Interface:
             return c_vamp, post(cz_masked)
         return c_vamp
 
+    def sp_pad_len(self, t: int) -> int:
+        """Padded sequence length the sp (chunk-free) path runs at: time
+        shards must be equal, so pad to the sp grid (lane-aligned once the
+        per-device shard reaches 128). The padded tail is fully masked and
+        cropped after generation. Exposed because serve.VampEngine must
+        bucket request lengths on THIS grid in sp mode — bucketing on the
+        coarse chunk grid would change the generate program's sequence
+        length (padded mask-token positions participate in attention and in
+        the MaskGIT schedule), making engine tokens diverge from solo."""
+        assert self._sp_mesh is not None, "sp_pad_len requires shard(sp=N)"
+        n_sp = self._sp_mesh.shape["sp"]
+        mult = n_sp * (128 if t >= n_sp * 128 else 1)
+        return ((t + mult - 1) // mult) * mult
+
     def _coarse_vamp_unchunked(self, z, mask, return_mask=False, seed=None,
                                **kwargs):
         """Chunk-free coarse vamp (SP path): the full sequence as ONE
@@ -906,13 +940,9 @@ class Interface:
         )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_sp = self._sp_mesh.shape["sp"]
         n_coarse = self.coarse.n_codebooks
         b, _, t = z.shape
-        # time shards must be equal; pad to the sp grid (lane-aligned when
-        # long). Padded tail is fully masked and cropped after generation.
-        mult = n_sp * (128 if t >= n_sp * 128 else 1)
-        tp = ((t + mult - 1) // mult) * mult
+        tp = self.sp_pad_len(t)
         key_pre = ("sp_pre", b, n_coarse, t, tp, self.coarse.mask_token)
         if key_pre not in self._gen_cache:
             mask_token = self.coarse.mask_token
@@ -932,9 +962,18 @@ class Interface:
         m_p = jax.device_put(m_p, sh)
 
         key = _seed_key(seed)
-        # the fused Pallas sampler assumes a single-device layout; the xla
-        # sampler is position-wise and GSPMD-shards cleanly over "sp"
-        kwargs.setdefault("sampler_impl", "xla")
+        # the fused Pallas sampler assumes a single-device layout (its pltpu
+        # PRNG stream is per-core); the xla sampler is position-wise and
+        # GSPMD-shards cleanly over "sp". This swap is API contract (see
+        # shard() docstring): reject an explicit fused request rather than
+        # silently de-shard or mis-sample.
+        impl = kwargs.get("sampler_impl", "auto")
+        if impl not in ("auto", "xla"):
+            raise NotImplementedError(
+                f"sampler_impl={impl!r} is single-device; under shard(sp=) "
+                "the xla sampler is used (leave sampler_impl at 'auto')"
+            )
+        kwargs["sampler_impl"] = "xla"
         c_vamp = self._run_generate(self.coarse, z_masked, m_p, key, **kwargs)
         c_vamp = c_vamp[:, :, :t]
         if z.shape[1] > n_coarse:

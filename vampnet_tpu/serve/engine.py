@@ -166,6 +166,13 @@ class VampEngine:
         )
 
     def _bucket_len(self, t: int) -> int:
+        # sp mode: bucket on the interface's sp padding grid, not the coarse
+        # chunk grid — the chunk-free generate runs at sp_pad_len(t), and
+        # pre-padding past it would CHANGE the program's sequence length
+        # (padded mask-token rows attend and count in the MaskGIT schedule),
+        # so engine tokens would diverge from a solo coarse_vamp call.
+        if getattr(self.interface, "_sp_mesh", None) is not None:
+            return self.interface.sp_pad_len(t)
         b = self.bucket_tokens
         return ((t + b - 1) // b) * b
 
