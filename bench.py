@@ -316,7 +316,21 @@ def main():
                     best = min(best, time.perf_counter() - t0)
                 return best
 
-            w1, w4 = wall_iters(1), wall_iters(4)
+            # one retry: the remote-compile service drops connections under
+            # load (round-4 observed "Broken pipe" mid-compile) — transient,
+            # and the partial compile is cached so the retry is cheaper
+            last_err = None
+            for attempt in range(2):
+                try:
+                    w1, w4 = wall_iters(1), wall_iters(4)
+                    break
+                except Exception as e:
+                    last_err = e
+                    _log(f"device_split attempt {attempt} failed: {e!r}")
+                    if remaining() < (520 if cold else 45):
+                        raise
+            else:
+                raise last_err
             device_program_s = max(0.0, (w4 - w1) / 3)
             # chained-differential device compute of the exact e2e program;
             # the rest of p50 is tunnel RPC + waveform transfer + host

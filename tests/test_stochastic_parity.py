@@ -175,16 +175,19 @@ def test_stochastic_distributional_parity():
     def forward(zm, c=None, cm=None):
         return model.apply({"params": params}, zm, codebooks, method="forward_codes")
 
-    for s in range(N_SEEDS):
-        rec.clear()
-        out = generate(
-            forward, jax.random.PRNGKey(s), jnp.asarray(codes), jnp.asarray(mask),
+    @jax.jit  # one trace; the debug callback fires per execution
+    def gen(key):
+        return generate(
+            forward, key, jnp.asarray(codes), jnp.asarray(mask),
             mask_token=cfg.mask_token,
             n_conditioning_codebooks=cfg.n_conditioning_codebooks,
             sampling_steps=steps, sampler_impl="xla",
             debug_callback=callback, **stoch,
         )
-        out = np.asarray(out)
+
+    for s in range(N_SEEDS):
+        rec.clear()
+        out = np.asarray(gen(jax.random.PRNGKey(s)))
         jax.effects_barrier()
         flat_out = np.asarray(codebook_flatten(jnp.asarray(out)))[0]
         our_counts[np.arange(len(masked_pos)), flat_out[masked_pos]] += 1
