@@ -38,7 +38,7 @@ B, T, D, H = 8, 864, 1280, 20
 DH = D // H  # 64
 FF = 4 * D  # GEGLU inner width (factor-2 gate -> w_1 out is 2*FF)
 M = B * T
-ITERS_LO, ITERS_HI = 2, 10
+ITERS_LO, ITERS_HI = 2, 22
 DT = jnp.bfloat16
 
 
@@ -82,12 +82,15 @@ def _weights(key):
 
 
 def _chain(w, x):
-    # the per-layer matmul set with attention replaced by a free add (so the
-    # probe times ONLY the linear contractions + their backwards)
+    # the per-layer matmul set with attention replaced by a cheap
+    # elementwise mix. The mix must use q/k/v NONLINEARLY and distinctly:
+    # a plain q+k+v lets XLA's DotMerger collapse the three projections
+    # into one matmul against (wq+wk+wv) (first probe run read >200 TF/s —
+    # above peak — from exactly that).
     q = x @ w["wq"]
     k = x @ w["wk"]
     v = x @ w["wv"]
-    a = (q + k + v) @ w["wo"]
+    a = (q * jax.nn.sigmoid(k) + v) @ w["wo"]
     h = a @ w["w1"]
     gate, val = jnp.split(h, 2, axis=-1)
     h = jax.nn.gelu(gate) * val
@@ -117,7 +120,7 @@ def _chain_pret(w, wt, x):
     q = lin(x, w["wq"], wt["wq"])
     k = lin(x, w["wk"], wt["wk"])
     v = lin(x, w["wv"], wt["wv"])
-    a = lin(q + k + v, w["wo"], wt["wo"])
+    a = lin(q * jax.nn.sigmoid(k) + v, w["wo"], wt["wo"])
     h = lin(a, w["w1"], wt["w1"])
     gate, val = jnp.split(h, 2, axis=-1)
     h = jax.nn.gelu(gate) * val
@@ -138,7 +141,13 @@ def probe_linears():
 
     def make_grad_loop(wrt):
         def loss(w, x):
-            return jnp.sum(_chain(w, x).astype(jnp.float32))
+            # SQUARED loss: dy = chain(w, x), a full-rank, x-dependent
+            # cotangent. With loss=sum(y), dy=ones makes every dy@W^T
+            # rank-1 (XLA computes column sums, not matmuls) and the rest
+            # loop-invariant — the first probe runs read >300 TF/s from
+            # exactly that degeneracy.
+            y = _chain(w, x).astype(jnp.float32)
+            return 0.5 * jnp.sum(y * y)
 
         if wrt == "both":
             g = jax.grad(loss, argnums=(0, 1))
@@ -154,7 +163,7 @@ def probe_linears():
                 leaves = jax.tree_util.tree_leaves(gr)
                 # fold the grads back into x so the bwd is not DCE'd
                 s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-                return x + (0.0 * s).astype(x.dtype)
+                return x + (s * 1e-30).astype(x.dtype)
 
             return jnp.sum(
                 jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32)
@@ -165,7 +174,8 @@ def probe_linears():
     @functools.partial(jax.jit, static_argnames=("iters",))
     def pret_loop(w, wt, x, iters):
         def loss(w, x):
-            return jnp.sum(_chain_pret(w, wt, x).astype(jnp.float32))
+            y = _chain_pret(w, wt, x).astype(jnp.float32)
+            return 0.5 * jnp.sum(y * y)
 
         g = jax.grad(loss, argnums=(0, 1))
 
@@ -173,7 +183,7 @@ def probe_linears():
             gr = g(w, x)
             leaves = jax.tree_util.tree_leaves(gr)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
-            return x + (0.0 * s).astype(x.dtype)
+            return x + (s * 1e-30).astype(x.dtype)
 
         return jnp.sum(jax.lax.fori_loop(0, iters, body, x).astype(jnp.float32))
 
@@ -196,10 +206,10 @@ def probe_linears():
 def probe_attention():
     from vampnet_tpu.ops.flash_attention import flash_attention_with_bias
 
-    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, DH), DT)
-    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, T, DH), DT)
-    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, DH), DT)
-    bias = jax.random.normal(jax.random.PRNGKey(3), (1, H, T, T), jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, DH), DT)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, DH), DT)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, DH), DT)
+    bias = jax.random.normal(jax.random.PRNGKey(3), (H, T, T), jnp.float32)
 
     tp = ((T + 127) // 128) * 128
     d_pad = 128  # lanes: d=64 pads to 128 on the MXU
@@ -210,7 +220,7 @@ def probe_attention():
     def fwd_loop(q, k, v, bias, iters):
         def body(i, q):
             o = flash_attention_with_bias(q, k, v, bias)
-            return q + 0.0 * o + 1e-6  # dependent
+            return q + o * 1e-30 + 1e-6  # dependent
 
         return jnp.sum(
             jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32)
@@ -233,7 +243,7 @@ def probe_attention():
                 + jnp.sum(dv.astype(jnp.float32))
                 + jnp.sum(db.astype(jnp.float32))
             )
-            return q + (0.0 * s).astype(q.dtype) + 1e-6
+            return q + (s * 1e-30).astype(q.dtype) + 1e-6
 
         return jnp.sum(
             jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32)

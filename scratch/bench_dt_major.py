@@ -106,6 +106,63 @@ def _call_td(q, k, v, bias):
     )(q, k, v, bias)
 
 
+# ---------------- no-max fwd kernel (clamp-guarded base-2 softmax) -------
+# The bwd kernel probe (bench_bwd_probe.py) measured the fwd at 58.9 TF/s
+# padded vs the bwd's 114.9 — the fwd is VPU-pass-bound, and the row-max
+# reduce is one of its passes. Softmax needs the max only to avoid exp
+# overflow; in fp32, exp2 overflows at 128, and an ELEMENTWISE clamp at 80
+# (fusable into the bias-add + exp2 chain, no cross-lane reduce) is exact
+# whenever every score <= 80 — which production scores (|q.k*scale| + T5
+# bias, empirically |s| < 40) always satisfy.
+
+
+def _kernel_td_nomax(q_ref, k_ref, v_ref, b_ref, o_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = b_ref[0]
+    scores = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )
+    p = jnp.exp2(jnp.minimum(scores, 80.0))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :] = (acc / l).astype(o_ref.dtype)
+
+
+def _call_td_nomax(q, k, v, bias):
+    grid = (H, B)
+
+    def qkv_idx(i0, i1):
+        return (i1 * H + i0, 0, 0)
+
+    def bias_idx(i0, i1):
+        return (i0, 0, 0)
+
+    return pl.pallas_call(
+        _kernel_td_nomax,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, TP, DH), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP, DH), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP, DH), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP, TP), bias_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, TP, DH), qkv_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, TP, DH), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(q, k, v, bias)
+
+
 # ---------------- (d,t)-major kernel ----------------
 
 
@@ -203,14 +260,30 @@ def main():
                 jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2)
             )
             o = jnp.swapaxes(a + b2 + c, 1, 2)
-            return q + 0.0 * o + 1e-6
+            return q + o * 1e-30 + 1e-6
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
+    # no-max parity: EXACT equality expected (scores here are far below the
+    # clamp, and exp2(s)/sum == exp2(s-m)/sum(exp2(s-m)) only up to fp32
+    # rounding — check it is tiny)
+    o_nm = _call_td_nomax(q, k, v, bias)
+    err_nm = float(jnp.max(jnp.abs(o_td.astype(jnp.float32) - o_nm.astype(jnp.float32))))
+    print(f"parity max|td - nomax| = {err_nm:.6f}")
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_nomax(q, k, v, bias, iters):
+        def body(i, q):
+            o = _call_td_nomax(q, k, v, bias)
+            return o + 1e-6
         return jnp.sum(jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32))
 
     ms_td = _diff_ms(lambda it: loop_td(q, k, v, bias, it))
     ms_dt = _diff_ms(lambda it: loop_dt(q_dt, k_dt, v_dt, bias, it))
+    ms_nm = _diff_ms(lambda it: loop_nomax(q, k, v, bias, it))
     ms_xp = _diff_ms(lambda it: loop_xpose(q, k, v, it))
     print(f"[td kernel]  {ms_td:.3f} ms / forward (20 layers -> x20)")
     print(f"[dt kernel]  {ms_dt:.3f} ms / forward")
+    print(f"[nomax td]   {ms_nm:.3f} ms / forward ({(ms_td-ms_nm)/ms_td*100:+.1f}% vs td)")
     print(f"[transposes] {ms_xp:.3f} ms (4x (bh,t,d)<->(bh,d,t))")
     print(
         f"verdict: dt {'WINS' if ms_dt + ms_xp < ms_td else 'LOSES'} "

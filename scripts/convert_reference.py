@@ -170,7 +170,8 @@ def _codec_smoke(codec_cfg, codec_params, report) -> np.ndarray:
     return codes, np.asarray(tables)
 
 
-def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps):
+def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps,
+                                 temperature=1.0, top_p=None, cfg_guidance=None):
     import dataclasses
 
     import jax
@@ -193,21 +194,24 @@ def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps):
         forward, jax.random.PRNGKey(0), jnp.asarray(codes), jnp.asarray(mask),
         mask_token=cfg.mask_token,
         n_conditioning_codebooks=cfg.n_conditioning_codebooks,
-        sampling_steps=steps, temperature=1.0, mask_temperature=0.0,
-        typical_filtering=False, sample_cutoff=-1.0, sampler_impl="xla",
+        sampling_steps=steps, temperature=temperature, mask_temperature=0.0,
+        typical_filtering=False, top_p=top_p, cfg_guidance=cfg_guidance,
+        sample_cutoff=-1.0, sampler_impl="xla",
     )
     return np.asarray(out)
 
 
-def _deterministic_generate_ref(mod, ref, tables, codes, mask, steps):
+def _deterministic_generate_ref(mod, ref, tables, codes, mask, steps,
+                                temperature=1.0, top_p=None):
     import torch
 
     out = ref.generate(
         _FakeTorchCodec(tables),
         start_tokens=torch.tensor(codes, dtype=torch.long),
         mask=torch.tensor(np.asarray(mask), dtype=torch.long),
-        _sampling_steps=steps, temperature=1.0, mask_temperature=0.0,
-        typical_filtering=False, sample_cutoff=-1.0, return_signal=False,
+        _sampling_steps=steps, temperature=temperature, mask_temperature=0.0,
+        typical_filtering=False, top_p=top_p, sample_cutoff=-1.0,
+        return_signal=False,
     )
     return out.numpy()
 
@@ -331,26 +335,61 @@ def convert_reference(
             m = np.asarray(m)
             n_steps = steps if name == "coarse" else 2
             ref_model = _ref_model_from_ckpt(mod, src)
-            ref_tokens = _deterministic_generate_ref(
-                mod, ref_model, tables[: cfg.n_codebooks], z, m, n_steps
-            )
-            ours = _deterministic_generate_ours(
-                cfg, params, tables[: cfg.n_codebooks], z, m, n_steps
-            )
-            match = np.array_equal(ours, ref_tokens)
-            n_tok = ref_tokens.size
-            _log(report, f"- {name}: {n_steps} steps, {n_tok} tokens -> "
-                         f"{'EXACT MATCH' if match else 'MISMATCH'}")
-            np.savez(
-                golden_dir / f"{name}.npz",
-                codes=z, mask=m, ref_tokens=ref_tokens, ours=ours,
-                steps=n_steps,
-            )
-            assert match, (
-                f"{name}: deterministic generate diverged from the reference "
-                f"({(ours != ref_tokens).sum()}/{n_tok} tokens differ); see "
-                f"{golden_dir / f'{name}.npz'}"
-            )
+            tab = tables[: cfg.n_codebooks]
+
+            # golden variants (VERDICT r4: pin the loop beyond the base
+            # regime). Each entry: (suffix, batch, ours_kwargs, ref_kwargs).
+            # cfg_guidance: the running reference computes guided logits and
+            # discards them (transformer.py:845-847), so its output equals
+            # the unguided run; OUR g=1.0 reduces to the conditional logits
+            # — both sides therefore pin to the same plain-reference tokens
+            # (docs/PARITY.md "cfg_guidance uses standard CFG").
+            variants = [("", 1, {}, {})]
+            if name == "coarse":
+                variants += [
+                    ("__topp", 1, dict(temperature=2.0, top_p=0.9),
+                     dict(temperature=2.0, top_p=0.9)),
+                    ("__cfg_g1", 1, dict(cfg_guidance=1.0), {}),
+                    ("__batch2", 2, {}, {}),
+                ]
+            for suffix, b, kw_ours, kw_ref in variants:
+                zb = np.concatenate([z] * b, axis=0) if b > 1 else z
+                mb = np.concatenate([m] * b, axis=0) if b > 1 else m
+                if b > 1:
+                    # vary row 1's mask so the rows exercise different
+                    # schedules (per-row N0 semantics, PARITY.md)
+                    mb = mb.copy()
+                    mb[1, :, :: 3] = 0
+                    mb[1, cfg.n_conditioning_codebooks:, 1:4] = 1
+                # reference batch semantics sum N0 over the batch
+                # (transformer.py:766); ours is per row — lockstep each of
+                # our rows against its own b=1 reference run
+                ref_tokens = np.concatenate([
+                    _deterministic_generate_ref(
+                        mod, ref_model, tab, zb[r: r + 1], mb[r: r + 1],
+                        n_steps, **kw_ref,
+                    )
+                    for r in range(b)
+                ], axis=0)
+                ours = _deterministic_generate_ours(
+                    cfg, params, tab, zb, mb, n_steps, **kw_ours
+                )
+                match = np.array_equal(ours, ref_tokens)
+                n_tok = ref_tokens.size
+                _log(report, f"- {name}{suffix}: {n_steps} steps, b={b}, "
+                             f"{n_tok} tokens -> "
+                             f"{'EXACT MATCH' if match else 'MISMATCH'}")
+                np.savez(
+                    golden_dir / f"{name}{suffix}.npz",
+                    codes=zb, mask=mb, ref_tokens=ref_tokens, ours=ours,
+                    steps=n_steps,
+                    **{f"kw_{k}": v for k, v in kw_ours.items()},
+                )
+                assert match, (
+                    f"{name}{suffix}: deterministic generate diverged from "
+                    f"the reference ({(ours != ref_tokens).sum()}/{n_tok} "
+                    f"tokens differ); see {golden_dir / f'{name}{suffix}.npz'}"
+                )
 
     _log(report, f"\ndone in {time.time() - t0:.1f}s")
     (out_dir / "CONVERSION_REPORT.md").write_text("\n".join(report) + "\n")
