@@ -32,8 +32,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-B, H, T, DH = 8, 20, 864, 64
-TP = ((T + 127) // 128) * 128  # 896
+B = int(os.environ.get("PB", "8"))
+T = int(os.environ.get("PT", "864"))
+H, DH = 20, 64
+TP = ((T + 127) // 128) * 128  # 896 at T=864
 BH = B * H
 DT = jnp.bfloat16
 ITERS_LO, ITERS_HI = 2, 12
@@ -166,6 +168,54 @@ def _call_td_nomax(q, k, v, bias):
 # ---------------- (d,t)-major kernel ----------------
 
 
+def _kernel_dt_nomax(q_ref, k_ref, v_ref, b_ref, o_ref):
+    """dt layout + clamp-guarded softmax (both wins composed)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = b_ref[0]
+    scores = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )
+    p = jnp.exp2(jnp.minimum(scores, 80.0))
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        v, p.astype(v.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, :, :] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _call_dt_nomax(q, k, v, bias):
+    grid = (H, B)
+
+    def qkv_idx(i0, i1):
+        return (i1 * H + i0, 0, 0)
+
+    def bias_idx(i0, i1):
+        return (i0, 0, 0)
+
+    return pl.pallas_call(
+        _kernel_dt_nomax,
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, DH, TP), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DH, TP), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DH, TP), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TP, TP), bias_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, DH, TP), qkv_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, DH, TP), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+    )(q, k, v, bias)
+
+
 def _kernel_dt(q_ref, k_ref, v_ref, b_ref, o_ref):
     q = q_ref[0]  # (d, T)
     k = k_ref[0]  # (d, T)
@@ -277,13 +327,29 @@ def main():
             return o + 1e-6
         return jnp.sum(jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32))
 
+    o_dn = _call_dt_nomax(q_dt, k_dt, v_dt, bias)
+    err_dn = float(
+        jnp.max(jnp.abs(o_td.astype(jnp.float32) - jnp.swapaxes(o_dn, 1, 2).astype(jnp.float32)))
+    )
+    print(f"parity max|td - dt_nomax^T| = {err_dn:.6f}")
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def loop_dtnm(q, k, v, bias, iters):
+        def body(i, q):
+            o = _call_dt_nomax(q, k, v, bias)
+            return o + 1e-6
+        return jnp.sum(jax.lax.fori_loop(0, iters, body, q).astype(jnp.float32))
+
     ms_td = _diff_ms(lambda it: loop_td(q, k, v, bias, it))
     ms_dt = _diff_ms(lambda it: loop_dt(q_dt, k_dt, v_dt, bias, it))
     ms_nm = _diff_ms(lambda it: loop_nomax(q, k, v, bias, it))
+    ms_dn = _diff_ms(lambda it: loop_dtnm(q_dt, k_dt, v_dt, bias, it))
     ms_xp = _diff_ms(lambda it: loop_xpose(q, k, v, it))
+    print(f"shape b={B} t={T} (tp={TP})")
     print(f"[td kernel]  {ms_td:.3f} ms / forward (20 layers -> x20)")
     print(f"[dt kernel]  {ms_dt:.3f} ms / forward")
     print(f"[nomax td]   {ms_nm:.3f} ms / forward ({(ms_td-ms_nm)/ms_td*100:+.1f}% vs td)")
+    print(f"[dt+nomax]   {ms_dn:.3f} ms / forward ({(ms_td-ms_dn)/ms_td*100:+.1f}% vs td)")
     print(f"[transposes] {ms_xp:.3f} ms (4x (bh,t,d)<->(bh,d,t))")
     print(
         f"verdict: dt {'WINS' if ms_dt + ms_xp < ms_td else 'LOSES'} "

@@ -148,3 +148,45 @@ def test_vjp_multi_qblock_split_backward():
         np.testing.assert_allclose(
             np.asarray(gm), np.asarray(gw), atol=2e-3, rtol=1e-2, err_msg=name
         )
+
+
+def test_inference_primal_uses_dt_kernel_and_matches_grad_path():
+    """Round-4: the custom_vjp PRIMAL (inference path) dispatches whole-seq
+    shared-bias calls to the (d,t)-major kernel; under jax.grad the VJP pair
+    keeps the (t,d) kernels. Pin (a) that the dt kernel actually engages on
+    the no-grad path, and (b) primal output == differentiated-path forward
+    output (same math, layout-only change; fp32 whole-seq is bit-stable in
+    interpret mode up to accumulation order)."""
+    from vampnet_tpu.ops import flash_attention as fa
+
+    q, k, v, bias = _inputs(t=100)
+    calls = {"dt": 0}
+    orig = fa._fwd_call_dt
+
+    def counting(*a, **kw):
+        calls["dt"] += 1
+        return orig(*a, **kw)
+
+    fa._fwd_call_dt = counting
+    try:
+        out_inf = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
+        assert calls["dt"] == 1, "whole-seq shared-bias primal must take dt"
+
+        # differentiated path: forward value comes from the (t,d) lse kernel
+        out_grad, _ = jax.vjp(
+            lambda q, k, v, b: flash_attention_with_bias(
+                q, k, v, bias=b, interpret=True
+            ),
+            q, k, v, bias,
+        )
+        assert calls["dt"] == 1, "grad path must NOT take the dt primal"
+    finally:
+        fa._fwd_call_dt = orig
+    np.testing.assert_allclose(
+        np.asarray(out_inf), np.asarray(out_grad), atol=2e-6, rtol=1e-5
+    )
+
+    # a masked call (per-row bias, 128-row blocks) must NOT take dt
+    mask = jnp.ones((q.shape[0], q.shape[1], q.shape[1]), jnp.int32)
+    flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
+    assert calls["dt"] == 1

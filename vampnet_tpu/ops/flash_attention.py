@@ -116,6 +116,81 @@ def _attn_kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
     o_ref[0, :, :] = (acc / l).astype(o_ref.dtype)
 
 
+def _attn_kernel_dt(q_ref, k_ref, v_ref, b_ref, o_ref):
+    """(d,t)-major whole-sequence forward (inference primal only).
+
+    Same math as _attn_kernel, but q/k/v/o ride as (d, t): t on the 128-lane
+    axis, TRUE d (64) on sublanes — no d->128 lane padding in VMEM or HBM.
+    Round-4 probe (scratch/bench_dt_major.py, b=8/2 t=864 and c2f b=32
+    t=259): 1.2-3x faster than the (t, d) kernel with EXACT output parity;
+    net of the boundary transposes it wins 0.13-0.28 ms per call. The score
+    matmul contracts the SUBLANE axis (64-deep), p@v contracts lanes.
+    """
+    q = q_ref[0]  # (d, T) pre-scaled
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = b_ref[0]  # (T, T) pre-folded by log2(e)
+
+    scores = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )  # (T, T): rows = query index
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    # o[d, i] = sum_j v[d, j] p[i, j]
+    acc = jax.lax.dot_general(
+        v, p.astype(v.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (d, T)
+    o_ref[0, :, :] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _fwd_call_dt(qp, kp, vp, bias_p, h, d, interpret):
+    """(d,t)-major forward dispatch on the padded (bh, tp, dp) arrays.
+
+    Slices back to the true head dim and transposes to (bh, d, tp) — XLA
+    elides the slice-of-pad and the output pad-of-slice, so the d->128
+    padding the (t,d) path materializes in HBM never exists in the
+    inference program. Grid (h, batch): the shared T5 bias block stays
+    VMEM-resident across the inner batch sweep."""
+    bh, tp, dp = qp.shape
+    b = bh // h
+
+    def to_dt(x):
+        return jnp.swapaxes(x[:, :, :d], 1, 2)
+
+    def qkv_idx(i0, i1):
+        return (i1 * h + i0, 0, 0)
+
+    def bias_idx(i0, i1):
+        return (i0, 0, 0)
+
+    out = pl.pallas_call(
+        _attn_kernel_dt,
+        grid_spec=pl.GridSpec(
+            grid=(h, b),
+            in_specs=[
+                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tp, tp), bias_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((bh, d, tp), qp.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+        interpret=interpret,
+    )(to_dt(qp), to_dt(kp), to_dt(vp), bias_p)
+    out = jnp.swapaxes(out, 1, 2)  # (bh, tp, d)
+    # pad d back to dp: custom_vjp requires primal/fwd output avals to match;
+    # the caller immediately slices [:, :t, :d], so XLA removes this pad
+    return jnp.pad(out, ((0, 0), (0, 0), (0, dp - d)))
+
+
 def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref):
     """Single-pass forward that also emits log2-sumexp2 rows (for the VJP)."""
     q = q_ref[0]
@@ -408,10 +483,16 @@ def _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse):
     )(qp, kp, vp, bias_p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _attention_core(qp, kp, vp, bias_p, block_q, h, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _attention_core(qp, kp, vp, bias_p, block_q, h, d, interpret):
     """Differentiable single-pass fused attention on padded PRE-FOLDED arrays
     (base-2 softmax: qp carries scale*log2e, bias_p carries log2e).
+
+    This primal body runs only OUTSIDE differentiation (jax.custom_vjp
+    semantics), i.e. on the inference path: whole-seq shared-bias calls take
+    the (d,t)-major kernel (_attn_kernel_dt — 1.2-3x at serving shapes, see
+    its docstring). Under jax.grad the VJP pair below runs instead, keeping
+    the (t,d) forward+backward kernels and training numerics unchanged.
 
     Backward is its own Pallas kernel (custom-VJP pattern): probabilities are
     recomputed per q-block from the saved log2-sumexp2, dk/dv accumulate
@@ -419,15 +500,19 @@ def _attention_core(qp, kp, vp, bias_p, block_q, h, interpret):
     (bh, q, k) and reduced over the batch outside when the bias is
     head-shared. The prefolds' own chain rule runs outside in XLA.
     """
+    bh, tp, _dp = qp.shape
+    whole_seq_shared_bias = block_q == tp and bias_p.shape[0] == h
+    if whole_seq_shared_bias:
+        return _fwd_call_dt(qp, kp, vp, bias_p, h, d, interpret)
     return _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=False)
 
 
-def _attention_core_fwd(qp, kp, vp, bias_p, block_q, h, interpret):
+def _attention_core_fwd(qp, kp, vp, bias_p, block_q, h, d, interpret):
     out, lse = _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=True)
     return out, (qp, kp, vp, bias_p, out, lse)
 
 
-def _attention_core_bwd(block_q, h, interpret, res, do):
+def _attention_core_bwd(block_q, h, d, interpret, res, do):
     qp, kp, vp, bias_p, out, lse = res
     bh, tp, dp = qp.shape
     shared_bias = bias_p.shape[0] != bh
@@ -791,7 +876,7 @@ def flash_attention_with_bias(
         )(qp, kp, vp, bias_p)
     else:
         # differentiable custom-VJP core (fwd + bwd are both Pallas kernels)
-        out = _attention_core(qp, kp, vp, bias_p, block_q, h, interpret)
+        out = _attention_core(qp, kp, vp, bias_p, block_q, h, d, interpret)
 
     out = out[:, :t, :d].reshape(b, h, t, d)
     return jnp.transpose(out, (0, 2, 1, 3))
