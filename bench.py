@@ -129,19 +129,36 @@ def build_iface():
             c2f_cfg, n_codebooks=6, n_conditioning_codebooks=4, **tiny
         )
 
+    def _host_fill(shapes, seed):
+        # weights are random and throughput is weight-independent: build the
+        # param tree from eval_shape on the HOST instead of jitting init on
+        # the device — a cold run saves ~2 min of remote compiles and the
+        # init programs never enter the persistent cache
+        rng = np.random.default_rng(seed)
+        return jax.tree.map(
+            lambda s: (
+                jnp.asarray(rng.standard_normal(s.shape, np.float32) * 0.02)
+                if jnp.issubdtype(s.dtype, jnp.floating)
+                else jnp.zeros(s.shape, s.dtype)
+            ),
+            shapes,
+        )
+
     codec = LAC(codec_cfg)
     audio0 = jnp.zeros((1, codec_cfg.hop_length * 4, 1), jnp.float32)
-    codec_params = jax.jit(lambda k: codec.init(k, audio0))(jax.random.PRNGKey(0))[
-        "params"
-    ]
+    codec_params = _host_fill(
+        jax.eval_shape(codec.init, jax.random.PRNGKey(0), audio0)["params"], 0
+    )
 
     def init_lm(cfg, seed):
         model = VampNetLM(cfg)
         codes = jnp.zeros((1, cfg.n_codebooks, 16), jnp.int32)
         cbs = jnp.zeros((cfg.n_codebooks, cfg.vocab_size, cfg.latent_dim), jnp.float32)
-        return jax.jit(
-            lambda k: model.init(k, codes, cbs, method="forward_codes")
-        )(jax.random.PRNGKey(seed))["params"]
+        shapes = jax.eval_shape(
+            lambda k: model.init(k, codes, cbs, method="forward_codes"),
+            jax.random.PRNGKey(seed),
+        )["params"]
+        return _host_fill(shapes, seed)
 
     chunks = dict(coarse_chunk_size_s=2, coarse2fine_chunk_size_s=1) if SMOKE else {}
     return codec_cfg, Interface.from_modules(
