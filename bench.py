@@ -277,6 +277,11 @@ def main():
 
     emit()  # the headline is on the wire before any optional stage runs
 
+    # snapshot the single-stream e2e program NOW: later stages (long_form's
+    # b=1 60 s call) add their own vamp_e2e entries to the cache, and the
+    # device-split stage must chain the exact program measured above
+    e2e_fns = [f for k, f in iface._gen_cache.items() if k[0] == "vamp_e2e"]
+
     def gate(name, warm_est, cold_est):
         """Budget gate for an optional stage: False -> recorded as skipped."""
         est = cold_est if cold else warm_est
@@ -289,7 +294,7 @@ def main():
         _log(f"stage {name} (est {est}s, remaining {remaining():.0f}s)")
         return True
 
-    # ---- stage 2: device-program vs tunnel split (bench honesty) ----
+    # ---- device-program vs tunnel split (bench honesty; runs LAST) ----
     # CHAINED differential: run the very e2e program measured above as
     # dependent iterations inside ONE jitted fori_loop (output variation 0
     # feeds the next iteration's input; DYNAMIC trip count so one compile
@@ -297,9 +302,15 @@ def main():
     # the only method that survives tunnel weather (CLAUDE.md measurement
     # rule; a staged/async-marginal method double-counts the ~69 ms/call
     # waveform transfer and per-stage dispatch RPCs as device).
-    if gate("device_split", 45, 520):
+    # Runs LAST (called after long_form below): the chained compile is the
+    # bench's most expensive and least reliable step — round 4 saw two
+    # ~27 min remote-compile broken-pipe failures — so it must never starve
+    # the cheap stages of budget.
+    def device_split_stage():
+        if not gate("device_split", 45, 520):
+            return
         try:
-            fn = [f for k, f in iface._gen_cache.items() if k[0] == "vamp_e2e"][-1]
+            fn = e2e_fns[-1]
             audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
             cp_, co_, c2_, cb_ = (
                 iface.codec_params, iface.coarse.params, iface.c2f.params,
@@ -483,6 +494,8 @@ def main():
         except Exception as e:
             _log(f"long_form failed: {e!r}")
         emit()
+
+    device_split_stage()
 
     # final superset line: carries the complete skipped-stage record even
     # when every optional stage was budget-gated away
