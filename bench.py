@@ -186,6 +186,33 @@ def make_sig(codec_cfg, seconds=10.0):
     return AudioSignal(wav[None, None, :], sr)
 
 
+def _seed_cache(cache_dir, seed=None):
+    """Populate the (gitignored) runtime compile cache from the COMMITTED
+    seed directory `.jax_cache_seed/` — the bench's exact program working
+    set, captured by scripts/refresh_bench_cache.py. A driver run on a fresh
+    clone then starts warm (~1 min to the headline) instead of paying
+    ~25-45 min of remote compiles; round 3's only deliverable gap was a
+    bench timeout from exactly that cold start. Hardlink when possible."""
+    import shutil
+
+    if seed is None:
+        seed = os.path.join(os.path.dirname(__file__), ".jax_cache_seed")
+    if not os.path.isdir(seed):
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    n = 0
+    for name in os.listdir(seed):
+        src, dst = os.path.join(seed, name), os.path.join(cache_dir, name)
+        if not os.path.exists(dst):
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+            n += 1
+    if n:
+        _log(f"seeded {n} compile-cache entries from .jax_cache_seed/")
+
+
 def main():
     import jax
 
@@ -194,6 +221,7 @@ def main():
     cache_dir = os.environ.get(
         "VAMPNET_JAX_CACHE", os.path.join(os.path.dirname(__file__), ".jax_cache")
     )
+    _seed_cache(cache_dir)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -78,3 +78,59 @@ def test_bench_lines_are_parseable_json_only_on_stdout(zero_budget_run):
         if line.strip():
             json.loads(line)  # raises if any stray non-JSON stdout line
     assert "[bench" in proc.stderr  # progress log went to stderr
+
+
+def test_seed_cache_links_missing_entries(tmp_path, monkeypatch):
+    """bench._seed_cache must populate the runtime cache from the committed
+    seed without clobbering entries already present (a driver clone starts
+    warm; a developer's live cache is never overwritten)."""
+    sys.path.insert(0, str(REPO))
+    import bench
+
+    seed = tmp_path / ".jax_cache_seed"
+    seed.mkdir()
+    (seed / "a-cache").write_bytes(b"seed-a")
+    (seed / "b-cache").write_bytes(b"seed-b")
+    cache = tmp_path / ".jax_cache"
+    cache.mkdir()
+    (cache / "b-cache").write_bytes(b"live-b")  # pre-existing entry
+
+    bench._seed_cache(str(cache), seed=str(seed))
+    assert (cache / "a-cache").read_bytes() == b"seed-a"
+    assert (cache / "b-cache").read_bytes() == b"live-b"  # not clobbered
+
+
+def test_refresh_cache_collects_only_read_entries(tmp_path, monkeypatch):
+    """scripts/refresh_bench_cache.py's mark->read->collect cycle must pick
+    exactly the entries the bench READ (fresh atime) and atomically replace
+    the previous seed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "refresh_bench_cache", REPO / "scripts" / "refresh_bench_cache.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    cache = tmp_path / ".jax_cache"
+    cache.mkdir()
+    (cache / "used-cache").write_bytes(b"u" * 64)
+    (cache / "stale-cache").write_bytes(b"s" * 64)
+    monkeypatch.setattr(mod, "CACHE", str(cache))
+    monkeypatch.setattr(mod, "SEED", str(tmp_path / ".jax_cache_seed"))
+
+    assert mod.mark() == 2
+    # simulate the bench reading one entry (atime -> now; relatime updates
+    # because the marked atime is older than mtime)
+    os.utime(cache / "used-cache", None)
+
+    mod.collect()
+    seed = tmp_path / ".jax_cache_seed"
+    assert sorted(p.name for p in seed.iterdir()) == ["used-cache"]
+
+    # second refresh replaces the seed and keeps the previous one
+    mod.mark()
+    os.utime(cache / "stale-cache", None)
+    mod.collect()
+    assert sorted(p.name for p in seed.iterdir()) == ["stale-cache"]
+    assert (tmp_path / ".jax_cache_seed.prev" / "used-cache").exists()
