@@ -151,12 +151,13 @@ def test_vjp_multi_qblock_split_backward():
 
 
 def test_inference_primal_uses_dt_kernel_and_matches_grad_path():
-    """Round-4: the custom_vjp PRIMAL (inference path) dispatches whole-seq
-    shared-bias calls to the (d,t)-major kernel; under jax.grad the VJP pair
-    keeps the (t,d) kernels. Pin (a) that the dt kernel actually engages on
-    the no-grad path, and (b) primal output == differentiated-path forward
-    output (same math, layout-only change; fp32 whole-seq is bit-stable in
-    interpret mode up to accumulation order)."""
+    """Round-4: whole-seq shared-bias calls dispatch the (d,t)-major kernels
+    on BOTH the custom_vjp primal (inference) and the VJP forward (training,
+    via the fwd+lse variant); the backward keeps the (t,d) kernels. Pin
+    (a) that the dt dispatch actually engages on both paths, and (b) primal
+    output == differentiated-path forward output (same math, layout-only
+    change; fp32 whole-seq is bit-stable in interpret mode up to
+    accumulation order)."""
     from vampnet_tpu.ops import flash_attention as fa
 
     q, k, v, bias = _inputs(t=100)
@@ -172,21 +173,71 @@ def test_inference_primal_uses_dt_kernel_and_matches_grad_path():
         out_inf = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
         assert calls["dt"] == 1, "whole-seq shared-bias primal must take dt"
 
-        # differentiated path: forward value comes from the (t,d) lse kernel
+        # differentiated path: forward value comes from the dt fwd+lse kernel
         out_grad, _ = jax.vjp(
             lambda q, k, v, b: flash_attention_with_bias(
                 q, k, v, bias=b, interpret=True
             ),
             q, k, v, bias,
         )
-        assert calls["dt"] == 1, "grad path must NOT take the dt primal"
+        assert calls["dt"] == 2, "grad path must take the dt fwd+lse variant"
     finally:
         fa._fwd_call_dt = orig
     np.testing.assert_allclose(
         np.asarray(out_inf), np.asarray(out_grad), atol=2e-6, rtol=1e-5
     )
 
-    # a masked call (per-row bias, 128-row blocks) must NOT take dt
+    # a masked call (per-row bias, 128-row blocks) must NOT take dt,
+    # on either the primal or the grad path
     mask = jnp.ones((q.shape[0], q.shape[1], q.shape[1]), jnp.int32)
-    flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
-    assert calls["dt"] == 1
+    fa._fwd_call_dt = counting
+    try:
+        flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
+        jax.vjp(
+            lambda q, k, v, b: flash_attention_with_bias(
+                q, k, v, bias=b, mask=mask, interpret=True
+            ),
+            q, k, v, bias,
+        )
+        assert calls["dt"] == 2
+    finally:
+        fa._fwd_call_dt = orig
+
+
+def test_dt_fwd_lse_matches_td_fwd_lse():
+    """The (d,t) fwd+lse kernel must reproduce the (t,d) kernel's output AND
+    saved lse (the backward consumes lse; a drifting lse silently corrupts
+    every gradient). Compared via the internal padded-call API at a
+    non-multiple-of-128 t so the key-pad handling is exercised."""
+    from vampnet_tpu.ops import flash_attention as fa
+
+    q, k, v, bias = _inputs(t=100)
+    b, t, h, d = q.shape
+    qs = (q.astype(jnp.float32) * (fa.LOG2E / (d ** 0.5))).astype(q.dtype)
+    tp = fa._round_up(t, 128)
+    dp = fa._round_up(d, 128)
+
+    def pad_qkv(x):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, t, d)
+        return jnp.pad(x, ((0, 0), (0, tp - t), (0, dp - d)))
+
+    qp, kp, vp = pad_qkv(qs), pad_qkv(k), pad_qkv(v)
+    bias_p = jnp.pad(
+        bias.astype(jnp.float32) * fa.LOG2E, ((0, 0), (0, tp - t), (0, tp - t))
+    )
+    bias_p = jnp.where((jnp.arange(tp) >= t)[None, None, :], -1e9, bias_p)
+
+    out_td, lse_td = fa._fwd_call(
+        qp, kp, vp, bias_p, tp, h, True, with_lse=True
+    )
+    out_dt, lse_dt = fa._fwd_call_dt(
+        qp, kp, vp, bias_p, h, d, True, with_lse=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_td[:, :t, :d]), np.asarray(out_dt[:, :t, :d]),
+        atol=2e-6, rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lse_td[:, 0, :t]), np.asarray(lse_dt[:, 0, :t]),
+        atol=2e-5, rtol=1e-6,
+    )

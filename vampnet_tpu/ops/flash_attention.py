@@ -149,7 +149,39 @@ def _attn_kernel_dt(q_ref, k_ref, v_ref, b_ref, o_ref):
     o_ref[0, :, :] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
 
 
-def _fwd_call_dt(qp, kp, vp, bias_p, h, d, interpret):
+def _attn_kernel_fwd_lse_dt(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref):
+    """(d,t)-major single-pass forward that also emits log2-sumexp2 rows.
+
+    The TRAINING counterpart of _attn_kernel_dt: same layout win (t on the
+    128-lane axis, true d=64 on sublanes — no d->128 lane padding), same
+    fp32-accumulated matmuls as the (t,d) fwd+lse kernel, so the saved lse
+    and output are bitwise-identical and the (t,d) backward kernels consume
+    them unchanged. The lse row is the kernel's only cross-layout write
+    (a (T,)-sized sublane->lane transpose — noise next to the (T,T) work)."""
+    q = q_ref[0]  # (d, T) pre-scaled
+    k = k_ref[0]
+    v = v_ref[0]
+    bias = b_ref[0]  # (T, T) pre-folded by log2(e)
+
+    scores = (
+        jax.lax.dot_general(
+            q, k, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias
+    )  # (T, T): rows = query index
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp2(scores - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse_ref[0, 0, :] = (m + jnp.log2(l))[:, 0]
+    acc = jax.lax.dot_general(
+        v, p.astype(v.dtype), dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (d, T)
+    o_ref[0, :, :] = (acc / l[:, 0][None, :]).astype(o_ref.dtype)
+
+
+def _fwd_call_dt(qp, kp, vp, bias_p, h, d, interpret, with_lse=False):
     """(d,t)-major forward dispatch on the padded (bh, tp, dp) arrays.
 
     Slices back to the true head dim and transposes to (bh, d, tp) — XLA
@@ -169,26 +201,53 @@ def _fwd_call_dt(qp, kp, vp, bias_p, h, d, interpret):
     def bias_idx(i0, i1):
         return (i0, 0, 0)
 
-    out = pl.pallas_call(
-        _attn_kernel_dt,
-        grid_spec=pl.GridSpec(
-            grid=(h, b),
-            in_specs=[
-                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, tp, tp), bias_idx, memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
-        ),
-        out_shape=jax.ShapeDtypeStruct((bh, d, tp), qp.dtype),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
-        interpret=interpret,
-    )(to_dt(qp), to_dt(kp), to_dt(vp), bias_p)
+    in_specs = [
+        pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tp, tp), bias_idx, memory_space=pltpu.VMEM),
+    ]
+    o_spec = pl.BlockSpec((1, d, tp), qkv_idx, memory_space=pltpu.VMEM)
+    if with_lse:
+        out, lse = pl.pallas_call(
+            _attn_kernel_fwd_lse_dt,
+            grid_spec=pl.GridSpec(
+                grid=(h, b),
+                in_specs=in_specs,
+                out_specs=(
+                    o_spec,
+                    pl.BlockSpec(
+                        (1, 1, tp),
+                        lambda i0, i1: (i1 * h + i0, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((bh, d, tp), qp.dtype),
+                jax.ShapeDtypeStruct((bh, 1, tp), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(to_dt(qp), to_dt(kp), to_dt(vp), bias_p)
+    else:
+        out = pl.pallas_call(
+            _attn_kernel_dt,
+            grid_spec=pl.GridSpec(
+                grid=(h, b),
+                in_specs=in_specs,
+                out_specs=o_spec,
+            ),
+            out_shape=jax.ShapeDtypeStruct((bh, d, tp), qp.dtype),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
+            interpret=interpret,
+        )(to_dt(qp), to_dt(kp), to_dt(vp), bias_p)
+        lse = None
     out = jnp.swapaxes(out, 1, 2)  # (bh, tp, d)
     # pad d back to dp: custom_vjp requires primal/fwd output avals to match;
     # the caller immediately slices [:, :t, :d], so XLA removes this pad
-    return jnp.pad(out, ((0, 0), (0, 0), (0, dp - d)))
+    out = jnp.pad(out, ((0, 0), (0, 0), (0, dp - d)))
+    return (out, lse) if with_lse else out
 
 
 def _attn_kernel_fwd_lse(q_ref, k_ref, v_ref, b_ref, o_ref, lse_ref):
@@ -491,8 +550,10 @@ def _attention_core(qp, kp, vp, bias_p, block_q, h, d, interpret):
     This primal body runs only OUTSIDE differentiation (jax.custom_vjp
     semantics), i.e. on the inference path: whole-seq shared-bias calls take
     the (d,t)-major kernel (_attn_kernel_dt — 1.2-3x at serving shapes, see
-    its docstring). Under jax.grad the VJP pair below runs instead, keeping
-    the (t,d) forward+backward kernels and training numerics unchanged.
+    its docstring). Under jax.grad the VJP forward takes the matching
+    (d,t) fwd+lse kernel (same fp32-accumulated matmuls, identical out/lse);
+    the backward keeps the (t,d) kernels, which want their residuals in
+    (t,d) anyway (the residuals ARE the padded inputs).
 
     Backward is its own Pallas kernel (custom-VJP pattern): probabilities are
     recomputed per q-block from the saved log2-sumexp2, dk/dv accumulate
@@ -508,7 +569,18 @@ def _attention_core(qp, kp, vp, bias_p, block_q, h, d, interpret):
 
 
 def _attention_core_fwd(qp, kp, vp, bias_p, block_q, h, d, interpret):
-    out, lse = _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=True)
+    bh, tp, _dp = qp.shape
+    if block_q == tp and bias_p.shape[0] == h:
+        # whole-seq shared-bias TRAINING forward rides the (d,t)-major kernel
+        # too (round-4: 1.2-3x the (t,d) kernel, bitwise-identical out/lse);
+        # the residuals stay the (t,d) padded inputs the backward consumes
+        out, lse = _fwd_call_dt(
+            qp, kp, vp, bias_p, h, d, interpret, with_lse=True
+        )
+    else:
+        out, lse = _fwd_call(
+            qp, kp, vp, bias_p, block_q, h, interpret, with_lse=True
+        )
     return out, (qp, kp, vp, bias_p, out, lse)
 
 
