@@ -204,10 +204,10 @@ def _seed_cache(cache_dir, seed=None):
     for name in os.listdir(seed):
         src, dst = os.path.join(seed, name), os.path.join(cache_dir, name)
         if not os.path.exists(dst):
-            try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
+            # copy, never hardlink: the source is a git-tracked file, and a
+            # shared inode would let runtime utime/rewrites of the cache
+            # entry silently mutate the committed seed (advisor r4)
+            shutil.copy2(src, dst)
             n += 1
     if n:
         _log(f"seeded {n} compile-cache entries from .jax_cache_seed/")
@@ -215,6 +215,17 @@ def _seed_cache(cache_dir, seed=None):
 
 def main():
     import jax
+
+    if SMOKE:
+        # set the platform BEFORE any other jax.config call and verify the
+        # switch took: if it failed (backend already initialized) a "CI
+        # smoke" run would silently dispatch minutes of remote compiles to
+        # the axon tunnel before failing much later (advisor r4)
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            f"SMOKE requested but backend is {jax.default_backend()!r} — "
+            "refusing to smoke-run against real hardware"
+        )
 
     # persistent compilation cache: fresh processes reuse prior XLA/Mosaic
     # compiles (the remote-compile path costs minutes per large program)
@@ -227,15 +238,17 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
-    if SMOKE:
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
 
     import jax.numpy as jnp
 
-    budget = float(os.environ.get("VAMPNET_BENCH_BUDGET_S", "900"))
+    # Default sized for the COLD path: the e2e warmup alone is ~1,070 s of
+    # remote compiles when the committed seed is missing/stale, and the old
+    # 900 s default then mathematically skipped every optional stage
+    # (BENCH_r04). 2,400 s lets a cold run still deliver sampler_golden +
+    # serving (+ hot_swap); the warm seeded path finishes in well under
+    # 900 s regardless. Worst case under a shorter driver timeout equals the
+    # old behavior: every stage's JSON is already on the wire when killed.
+    budget = float(os.environ.get("VAMPNET_BENCH_BUDGET_S", "2400"))
 
     def remaining():
         return budget - (time.monotonic() - _T0)

@@ -31,6 +31,10 @@ from vampnet_tpu.interface import Interface
 from vampnet_tpu.modules import LMConfig, VampNetLM
 
 SECONDS = 10.0
+# r5: grids env-configurable — VERDICT item 5 needs only {8,16}x{16,32}
+BATCHES = tuple(int(x) for x in os.environ.get("BENCH_BATCHES", "8,16,32").split(","))
+CONCS = tuple(int(x) for x in os.environ.get("BENCH_CONCS", "16,32").split(","))
+PART1 = os.environ.get("BENCH_PART1", "1") == "1"
 
 
 def build_iface():
@@ -75,7 +79,7 @@ def main():
             zc, mask=jnp.asarray(mask), seed=seeds + 7, _sampling_steps=2
         )
 
-    for n in (8, 16, 32):
+    for n in BATCHES if PART1 else ():
         codes = np.repeat(codes1, n, axis=0)
         mask = np.repeat(mask1, n, axis=0)
         seeds = np.arange(n, dtype=np.uint32)
@@ -102,7 +106,7 @@ def main():
     # ---- part 2: engine sweep ----
     from vampnet_tpu.serve import VampEngine, VampRequest
 
-    for max_batch in (8, 16, 32):
+    for max_batch in BATCHES:
         eng = VampEngine(iface, max_batch=max_batch, max_wait_ms=30.0)
 
         def serve_round(n_req, seed0):
@@ -114,7 +118,7 @@ def main():
                 f.result(timeout=3600)
 
         serve_round(max_batch, 1000)  # warm/compile this batch size
-        for conc in (16, 32):
+        for conc in CONCS:
             serve_round(conc, 2000)  # steady-state warm
             t0 = time.perf_counter()
             serve_round(conc, 3000 + conc)

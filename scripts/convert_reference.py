@@ -171,7 +171,9 @@ def _codec_smoke(codec_cfg, codec_params, report) -> np.ndarray:
 
 
 def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps,
-                                 temperature=1.0, top_p=None, cfg_guidance=None):
+                                 temperature=1.0, top_p=None, cfg_guidance=None,
+                                 typical_filtering=False, typical_mass=0.15,
+                                 typical_min_tokens=64):
     import dataclasses
 
     import jax
@@ -195,14 +197,17 @@ def _deterministic_generate_ours(cfg, params, codebooks, codes, mask, steps,
         mask_token=cfg.mask_token,
         n_conditioning_codebooks=cfg.n_conditioning_codebooks,
         sampling_steps=steps, temperature=temperature, mask_temperature=0.0,
-        typical_filtering=False, top_p=top_p, cfg_guidance=cfg_guidance,
-        sample_cutoff=-1.0, sampler_impl="xla",
+        typical_filtering=typical_filtering, typical_mass=typical_mass,
+        typical_min_tokens=typical_min_tokens, top_p=top_p,
+        cfg_guidance=cfg_guidance, sample_cutoff=-1.0, sampler_impl="xla",
     )
     return np.asarray(out)
 
 
 def _deterministic_generate_ref(mod, ref, tables, codes, mask, steps,
-                                temperature=1.0, top_p=None):
+                                temperature=1.0, top_p=None,
+                                typical_filtering=False, typical_mass=0.15,
+                                typical_min_tokens=64):
     import torch
 
     out = ref.generate(
@@ -210,7 +215,8 @@ def _deterministic_generate_ref(mod, ref, tables, codes, mask, steps,
         start_tokens=torch.tensor(codes, dtype=torch.long),
         mask=torch.tensor(np.asarray(mask), dtype=torch.long),
         _sampling_steps=steps, temperature=temperature, mask_temperature=0.0,
-        typical_filtering=False, top_p=top_p, sample_cutoff=-1.0,
+        typical_filtering=typical_filtering, typical_mass=typical_mass,
+        typical_min_tokens=typical_min_tokens, top_p=top_p, sample_cutoff=-1.0,
         return_signal=False,
     )
     return out.numpy()
@@ -350,6 +356,18 @@ def convert_reference(
                     ("__topp", 1, dict(temperature=2.0, top_p=0.9),
                      dict(temperature=2.0, top_p=0.9)),
                     ("__cfg_g1", 1, dict(cfg_guidance=1.0), {}),
+                    ("__batch2", 2, {}, {}),
+                ]
+            else:
+                # c2f's PRODUCTION default runs typical filtering on
+                # (interface.py:549 -> reference interface.py:365); argmax
+                # can flip when the modal token falls outside the typical
+                # set, so this pins a genuinely different code path — plus
+                # the per-row batch>1 lockstep (VERDICT r4 item 4)
+                typ = dict(typical_filtering=True, typical_mass=0.15,
+                           typical_min_tokens=64)
+                variants += [
+                    ("__typical", 1, dict(typ), dict(typ)),
                     ("__batch2", 2, {}, {}),
                 ]
             for suffix, b, kw_ours, kw_ref in variants:
