@@ -277,7 +277,10 @@ def main():
     t_c0 = time.monotonic()
     run(0)  # warmup / compile
     compile_s = time.monotonic() - t_c0
-    cold = compile_s > 90.0  # warm cache hit is seconds; a cold remote
+    cold = (
+        compile_s > 90.0
+        or os.environ.get("VAMPNET_BENCH_FORCE_COLD", "0") == "1"  # tests
+    )  # warm cache hit is seconds; a cold remote
     # compile of the e2e program is minutes — use this to estimate the
     # cold-compile cost of every later optional stage
     _log(f"single-stream: warmup took {compile_s:.1f}s (cold={cold})")
@@ -348,7 +351,11 @@ def main():
     # ~27 min remote-compile broken-pipe failures — so it must never starve
     # the cheap stages of budget.
     def device_split_stage():
-        if not gate("device_split", 45, 520):
+        # gate on the COLD estimate even when the run looks warm: whether
+        # the chained program is cache-hit can't be known before tracing,
+        # and a miss costs 25+ min of remote compile — the happy path
+        # (everything seeded, elapsed ~10 min) clears 520 s anyway
+        if not gate("device_split", 520, 520):
             return
         try:
             fn = e2e_fns[-1]
@@ -396,7 +403,12 @@ def main():
                 except Exception as e:
                     last_err = e
                     _log(f"device_split attempt {attempt} failed: {e!r}")
-                    if remaining() < (520 if cold else 45):
+                    # a failed attempt means the chained program was NOT a
+                    # warm cache hit (broken-pipe mid-compile): the retry
+                    # will pay cold-compile time regardless of the `cold`
+                    # flag, so gate it on the COLD estimate — otherwise a
+                    # warm-start run burns 25+ min past its budget here
+                    if remaining() < 520:
                         raise
             else:
                 raise last_err

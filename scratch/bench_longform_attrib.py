@@ -84,7 +84,19 @@ def chained_device_time(iface, sig, batch_size, label):
     key_ = jax.random.PRNGKey(3)
 
     def wall_iters(n, reps=2):
-        np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+        # the chained compile is the remote-compile service's biggest
+        # program and drops connections under load (broken pipe) — retry;
+        # partial compiles are cached so each retry makes progress
+        for attempt in range(4):
+            try:
+                np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+                break
+            except Exception as e:
+                print(f"  chained compile attempt {attempt} failed: {e!r}",
+                      flush=True)
+                if attempt == 3:
+                    raise
+                time.sleep(30)
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()

@@ -66,6 +66,7 @@ SLOW_TESTS = {
     "test_quantize.py::test_quantized_params_structure",
     "test_bench_emission.py::test_bench_zero_budget_emits_headline_and_skip_record",
     "test_bench_emission.py::test_bench_lines_are_parseable_json_only_on_stdout",
+    "test_bench_emission.py::test_bench_default_budget_survives_cold_estimates",
 }
 
 

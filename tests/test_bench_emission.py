@@ -19,14 +19,19 @@ import pytest
 REPO = Path(__file__).resolve().parents[1]
 
 
-def _run_bench(budget: str, timeout_s: int = 600):
+def _run_bench(budget, timeout_s: int = 600, force_cold: bool = False):
     env = dict(os.environ)
     env.update(
         VAMPNET_BENCH_SMOKE="1",
-        VAMPNET_BENCH_BUDGET_S=budget,
         # isolate from the real persistent cache
         VAMPNET_JAX_CACHE="/tmp/vampnet_bench_test_cache",
     )
+    if budget is not None:
+        env["VAMPNET_BENCH_BUDGET_S"] = budget
+    else:
+        env.pop("VAMPNET_BENCH_BUDGET_S", None)  # exercise the shipped default
+    if force_cold:
+        env["VAMPNET_BENCH_FORCE_COLD"] = "1"
     proc = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         capture_output=True, text=True, timeout=timeout_s, env=env, cwd=str(REPO),
@@ -78,6 +83,22 @@ def test_bench_lines_are_parseable_json_only_on_stdout(zero_budget_run):
         if line.strip():
             json.loads(line)  # raises if any stray non-JSON stdout line
     assert "[bench" in proc.stderr  # progress log went to stderr
+
+
+def test_bench_default_budget_survives_cold_estimates():
+    """Regression for BENCH_r04: the old 900 s default was mathematically
+    unable to run ANY optional stage on a cold start (observed cold e2e
+    warmup ~1,070 s), so the driver artifact carried a headline and nothing
+    else. With VAMPNET_BENCH_FORCE_COLD the gates use cold estimates; under
+    the SHIPPED default budget the high-value stages (serving first among
+    them) must still run."""
+    results, _ = _run_bench(budget=None, force_cold=True)
+    last = results[-1]
+    skipped = {s["stage"] for s in last["detail"]["skipped"]}
+    assert "serving" not in skipped, last["detail"]["skipped"]
+    assert "serving_audio_s_per_s_per_chip" in last["detail"]
+    assert "hot_swap_reload_s" in last["detail"]
+    assert "long_form_p50_s" in last["detail"]
 
 
 def test_seed_cache_links_missing_entries(tmp_path, monkeypatch):
