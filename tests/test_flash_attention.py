@@ -151,13 +151,16 @@ def test_vjp_multi_qblock_split_backward():
 
 
 def test_inference_primal_uses_dt_kernel_and_matches_grad_path():
-    """Round-4: whole-seq shared-bias calls dispatch the (d,t)-major kernels
-    on BOTH the custom_vjp primal (inference) and the VJP forward (training,
-    via the fwd+lse variant); the backward keeps the (t,d) kernels. Pin
-    (a) that the dt dispatch actually engages on both paths, and (b) primal
-    output == differentiated-path forward output (same math, layout-only
-    change; fp32 whole-seq is bit-stable in interpret mode up to
-    accumulation order)."""
+    """Round-4/5 dispatch contract: whole-seq shared-bias calls take the
+    (d,t)-major kernel on the custom_vjp primal (inference — clear measured
+    win); the VJP forward (training) keeps (t,d) BY DEFAULT (round-5: two
+    same-process step sandwiches read the dt training fwd ~1% slower, see
+    docs/PERF.md "Round-5") and rides the dt fwd+lse variant only under
+    VAMPNET_DT_TRAIN_FWD=1. The backward always keeps (t,d). Pin (a) the
+    dispatch counts on every path in both flag states, and (b) primal
+    output == differentiated-path forward output in both (same math,
+    layout-only change; fp32 whole-seq is bit-stable in interpret mode up
+    to accumulation order)."""
     from vampnet_tpu.ops import flash_attention as fa
 
     q, k, v, bias = _inputs(t=100)
@@ -168,40 +171,50 @@ def test_inference_primal_uses_dt_kernel_and_matches_grad_path():
         calls["dt"] += 1
         return orig(*a, **kw)
 
+    grad_fn = lambda q, k, v, b: flash_attention_with_bias(
+        q, k, v, bias=b, interpret=True
+    )
+
     fa._fwd_call_dt = counting
+    orig_flag = fa._DT_TRAIN_FWD
     try:
         out_inf = flash_attention_with_bias(q, k, v, bias=bias, interpret=True)
         assert calls["dt"] == 1, "whole-seq shared-bias primal must take dt"
 
-        # differentiated path: forward value comes from the dt fwd+lse kernel
-        out_grad, _ = jax.vjp(
-            lambda q, k, v, b: flash_attention_with_bias(
-                q, k, v, bias=b, interpret=True
-            ),
-            q, k, v, bias,
+        # default: the differentiated-path forward stays on (t,d)
+        fa._DT_TRAIN_FWD = False
+        out_grad, _ = jax.vjp(grad_fn, q, k, v, bias)
+        assert calls["dt"] == 1, "grad path must NOT take dt by default"
+        np.testing.assert_allclose(
+            np.asarray(out_inf), np.asarray(out_grad), atol=2e-6, rtol=1e-5
         )
-        assert calls["dt"] == 2, "grad path must take the dt fwd+lse variant"
-    finally:
-        fa._fwd_call_dt = orig
-    np.testing.assert_allclose(
-        np.asarray(out_inf), np.asarray(out_grad), atol=2e-6, rtol=1e-5
-    )
 
-    # a masked call (per-row bias, 128-row blocks) must NOT take dt,
-    # on either the primal or the grad path
-    mask = jnp.ones((q.shape[0], q.shape[1], q.shape[1]), jnp.int32)
-    fa._fwd_call_dt = counting
-    try:
-        flash_attention_with_bias(q, k, v, bias=bias, mask=mask, interpret=True)
-        jax.vjp(
-            lambda q, k, v, b: flash_attention_with_bias(
-                q, k, v, bias=b, mask=mask, interpret=True
-            ),
-            q, k, v, bias,
+        # opt-in: VAMPNET_DT_TRAIN_FWD=1 routes the fwd+lse variant to dt
+        fa._DT_TRAIN_FWD = True
+        out_grad_dt, _ = jax.vjp(grad_fn, q, k, v, bias)
+        assert calls["dt"] == 2, "opt-in grad path must take the dt fwd+lse"
+        np.testing.assert_allclose(
+            np.asarray(out_inf), np.asarray(out_grad_dt), atol=2e-6, rtol=1e-5
         )
+
+        # a masked call (per-row bias, 128-row blocks) must NOT take dt,
+        # on either the primal or the grad path, in either flag state
+        mask = jnp.ones((q.shape[0], q.shape[1], q.shape[1]), jnp.int32)
+        for flag in (False, True):
+            fa._DT_TRAIN_FWD = flag
+            flash_attention_with_bias(
+                q, k, v, bias=bias, mask=mask, interpret=True
+            )
+            jax.vjp(
+                lambda q, k, v, b: flash_attention_with_bias(
+                    q, k, v, bias=b, mask=mask, interpret=True
+                ),
+                q, k, v, bias,
+            )
         assert calls["dt"] == 2
     finally:
         fa._fwd_call_dt = orig
+        fa._DT_TRAIN_FWD = orig_flag
 
 
 def test_dt_fwd_lse_matches_td_fwd_lse():

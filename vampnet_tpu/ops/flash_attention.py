@@ -30,6 +30,7 @@ one). The custom-VJP core therefore differentiates `softmax2(qs k^T + b2) v`
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -568,12 +569,20 @@ def _attention_core(qp, kp, vp, bias_p, block_q, h, d, interpret):
     return _fwd_call(qp, kp, vp, bias_p, block_q, h, interpret, with_lse=False)
 
 
+# Round-5: the (d,t) TRAINING forward is opt-in, default OFF. The per-layer
+# VJP probe favored it (1.92 -> 1.84 ms) but two same-process td/dt/td step
+# sandwiches on different days both read dt ~1% SLOWER at full-step level
+# (337.4/337.6 vs 341.1 ms and 337.6 vs 340.9/341.1 — docs/PERF.md
+# "Round-5"), so the step graph pays more at the layout boundary than the
+# kernel saves. Inference keeps (d,t) unconditionally (clear measured win).
+_DT_TRAIN_FWD = os.environ.get("VAMPNET_DT_TRAIN_FWD", "0") == "1"
+
+
 def _attention_core_fwd(qp, kp, vp, bias_p, block_q, h, d, interpret):
     bh, tp, _dp = qp.shape
-    if block_q == tp and bias_p.shape[0] == h:
-        # whole-seq shared-bias TRAINING forward rides the (d,t)-major kernel
-        # too (round-4: 1.2-3x the (t,d) kernel, bitwise-identical out/lse);
-        # the residuals stay the (t,d) padded inputs the backward consumes
+    if _DT_TRAIN_FWD and block_q == tp and bias_p.shape[0] == h:
+        # opt-in (d,t)-major training forward: bitwise-identical out/lse,
+        # residuals stay the (t,d) padded inputs the backward consumes
         out, lse = _fwd_call_dt(
             qp, kp, vp, bias_p, h, d, interpret, with_lse=True
         )
