@@ -21,11 +21,19 @@ wall-clock budget (env VAMPNET_BENCH_BUDGET_S, default 900) with cold/warm
 compile-cost estimates; skipped stages are recorded in detail["skipped"].
 
 Env knobs:
-  VAMPNET_BENCH_BUDGET_S   wall-clock budget in seconds (default 900)
+  VAMPNET_BENCH_BUDGET_S   wall-clock budget in seconds (default 2400)
   VAMPNET_BENCH_SERVE=0    skip the serving stage
   VAMPNET_BENCH_SMOKE=1    tiny models + short audio on CPU (CI smoke test
                            of the emission/budget logic, not a perf number)
   VAMPNET_JAX_CACHE        persistent compile-cache dir (default .jax_cache)
+  VAMPNET_BENCH_ONLY_DS=1  skip every optional stage except device_split —
+                           cache-warming mode for the chained differential,
+                           the remote-compile service's biggest and least
+                           reliable program (pair with VAMPNET_DS_ATTEMPTS
+                           and a large budget; a success lands in the
+                           persistent cache, after which normal runs hit it
+                           warm)
+  VAMPNET_DS_ATTEMPTS      device_split compile attempts (default 2)
 """
 from __future__ import annotations
 
@@ -326,8 +334,14 @@ def main():
     # device-split stage must chain the exact program measured above
     e2e_fns = [f for k, f in iface._gen_cache.items() if k[0] == "vamp_e2e"]
 
+    only_ds = os.environ.get("VAMPNET_BENCH_ONLY_DS", "0") == "1"
+
     def gate(name, warm_est, cold_est):
         """Budget gate for an optional stage: False -> recorded as skipped."""
+        if only_ds and name != "device_split":
+            detail["skipped"].append({"stage": name, "reason": "only_ds"})
+            _log(f"SKIP {name}: VAMPNET_BENCH_ONLY_DS")
+            return False
         est = cold_est if cold else warm_est
         if remaining() < est:
             detail["skipped"].append(
@@ -396,7 +410,8 @@ def main():
             # load (round-4 observed "Broken pipe" mid-compile) — transient,
             # and the partial compile is cached so the retry is cheaper
             last_err = None
-            for attempt in range(2):
+            n_attempts = int(os.environ.get("VAMPNET_DS_ATTEMPTS", "2"))
+            for attempt in range(n_attempts):
                 try:
                     w1, w4 = wall_iters(1), wall_iters(4)
                     break
@@ -410,6 +425,8 @@ def main():
                     # warm-start run burns 25+ min past its budget here
                     if remaining() < 520:
                         raise
+                    if attempt + 1 < n_attempts:
+                        time.sleep(45)  # let the remote-compile service drain
             else:
                 raise last_err
             device_program_s = max(0.0, (w4 - w1) / 3)

@@ -101,6 +101,34 @@ def test_bench_default_budget_survives_cold_estimates():
     assert "long_form_p50_s" in last["detail"]
 
 
+def test_bench_only_ds_mode_runs_device_split_and_nothing_else():
+    """VAMPNET_BENCH_ONLY_DS=1 is the cache-warming mode for the chained
+    differential (the remote-compile service's biggest program): every other
+    optional stage must be skipped with an only_ds record, and device_split
+    must still run and emit its fields."""
+    env = dict(os.environ)
+    env.update(
+        VAMPNET_BENCH_SMOKE="1",
+        VAMPNET_BENCH_ONLY_DS="1",
+        VAMPNET_JAX_CACHE="/tmp/vampnet_bench_test_cache",
+    )
+    env.pop("VAMPNET_BENCH_BUDGET_S", None)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        capture_output=True, text=True, timeout=600, env=env, cwd=str(REPO),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.strip().startswith("{")]
+    last = json.loads(lines[-1])
+    only_ds_skips = {
+        s["stage"] for s in last["detail"]["skipped"]
+        if s.get("reason") == "only_ds"
+    }
+    assert only_ds_skips == {"serving", "hot_swap", "long_form"}
+    assert "device_program_s" in last["detail"]
+    assert "serving_audio_s_per_s_per_chip" not in last["detail"]
+
+
 def test_seed_cache_links_missing_entries(tmp_path, monkeypatch):
     """bench._seed_cache must populate the runtime cache from the committed
     seed without clobbering entries already present (a driver clone starts
