@@ -121,85 +121,61 @@ def main():
     sig10 = bench.make_sig(codec_cfg, 10.0)
     sig60 = bench.make_sig(codec_cfg, 60.0)
 
-    # control first: the 10 s b=2 program (the headline config) — same
-    # process, so tunnel weather is shared with the 60 s reading
-    p50_10, dev_10 = chained_device_time(iface, sig10, 2, "10s b=2 (control)")
-    p50_60, dev_60 = chained_device_time(iface, sig60, 1, "60s b=1 (long-form)")
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        # control first: the 10 s b=2 program (the headline config) — same
+        # process, so tunnel weather is shared with the 60 s reading
+        p50_10, dev_10 = chained_device_time(
+            iface, sig10, 2, "10s b=2 (control)"
+        )
+        p50_60, dev_60 = chained_device_time(
+            iface, sig60, 1, "60s b=1 (long-form)"
+        )
 
-    print(
-        f"\naudio_s/s: 10s-b2 {20.0 / p50_10:.1f} (device-only "
-        f"{20.0 / dev_10:.1f}) | 60s-b1 {60.0 / p50_60:.1f} (device-only "
-        f"{60.0 / dev_60:.1f})"
-    )
-    print(
-        f"device scale factor: {dev_60 / dev_10:.2f}x for 3.0x the audio "
-        f"(linear => 3.0; >3 = sublinear device stage, <3 = device fine, "
-        f"gap is tunnel/transfer)"
-    )
-    print(
-        f"tunnel/host overhead: 10s-b2 {p50_10 - dev_10:.3f}s vs 60s-b1 "
-        f"{p50_60 - dev_60:.3f}s (int16 waveform bytes: "
-        f"{2 * 20 * codec_cfg.sample_rate / 2**20:.1f} MB vs "
-        f"{2 * 60 * codec_cfg.sample_rate / 2**20:.1f} MB)"
-    )
+        print(
+            f"\naudio_s/s: 10s-b2 {20.0 / p50_10:.1f} (device-only "
+            f"{20.0 / dev_10:.1f}) | 60s-b1 {60.0 / p50_60:.1f} (device-only "
+            f"{60.0 / dev_60:.1f})"
+        )
+        print(
+            f"device scale factor: {dev_60 / dev_10:.2f}x for 3.0x the audio "
+            f"(linear => 3.0; >3 = sublinear device stage, <3 = device fine, "
+            f"gap is tunnel/transfer)"
+        )
+        print(
+            f"tunnel/host overhead: 10s-b2 {p50_10 - dev_10:.3f}s vs 60s-b1 "
+            f"{p50_60 - dev_60:.3f}s (int16 waveform bytes: "
+            f"{2 * 20 * codec_cfg.sample_rate / 2**20:.1f} MB vs "
+            f"{2 * 60 * codec_cfg.sample_rate / 2**20:.1f} MB)"
+        )
 
     if os.environ.get("BENCH_STAGES", "0") != "1":
         return
 
-    # ---- stage-level differentials (only if the device side is sublinear) —
-    # coarse MaskGIT at the long-form internal batch (6,4,861) vs the
-    # headline's (2,4,861), chained inside one program each
-    from vampnet_tpu.sampling.generate import generate as _generate
-    from vampnet_tpu.modules.transformer import position_bias_from_params
+    # ---- stage-level differentials via bench.make_stage_loops: the SAME
+    # jitted programs as bench.py's device_split fallback, so a run of either
+    # warms the other's persistent-cache entries.
+    coarse_m, c2f_m, codec_m = bench.make_stage_loops(iface)
+    c_len = iface.s2t(iface.coarse.chunk_size_s)
+    f_len = iface.s2t(iface.c2f.chunk_size_s)
 
-    coarse = iface.coarse
-    chunk_len = iface.s2t(coarse.chunk_size_s)
-    bias = None
-
-    def coarse_loop(nb, label):
-        z = jnp.zeros((nb, coarse.n_codebooks, chunk_len), jnp.int32)
-        m = jnp.ones_like(z)
-        params, cbs = coarse.params, iface._codebooks[: coarse.n_codebooks]
-
-        @jax.jit
-        def run(z, key, iters):
-            pb = position_bias_from_params(params, coarse.config, chunk_len)
-
-            def fwd(zm, c=None, cmk=None):
-                return coarse.model.apply(
-                    {"params": params}, zm, cbs, method="forward_codes",
-                    position_bias=pb,
-                )
-
-            def body(i, zz):
-                out = _generate(
-                    fwd, jax.random.fold_in(key, i),
-                    jnp.where(m.astype(bool), coarse.mask_token, zz), m,
-                    coarse.mask_token, sampling_steps=12,
-                )
-                return out
-
-            return jax.lax.fori_loop(0, iters, body, z).sum()
-
-        key = jax.random.PRNGKey(0)
-
-        def wall(n, reps=2):
-            np.asarray(run(z, key, jnp.int32(n)))
-            best = float("inf")
-            for _ in range(reps):
-                t0 = time.perf_counter()
-                np.asarray(run(z, key, jnp.int32(n)))
-                best = min(best, time.perf_counter() - t0)
-            return best
-
-        w1, w3 = wall(1), wall(3)
-        dev = (w3 - w1) / 2
-        print(f"[coarse b={nb} t={chunk_len}] device {dev * 1e3:.1f} ms "
+    # coarse MaskGIT: headline internal batch (1 chunk x b=2) vs long-form
+    # (6 chunks x b=1)
+    for nb in (2, 6):
+        dev = coarse_m(nb)
+        print(f"[coarse b={nb} t={c_len}] device {dev * 1e3:.1f} ms "
               f"({dev / nb * 1e3:.1f} ms/row)", flush=True)
-        return dev
 
-    coarse_loop(2, "headline")
-    coarse_loop(6, "long-form")
+    # c2f MaskGIT: headline (4 chunks x b=2 = 8) vs long-form (20 x b=1)
+    for nb in (8, 20):
+        dev = c2f_m(nb)
+        print(f"[c2f b={nb} t={f_len}] device {dev * 1e3:.1f} ms "
+              f"({dev / nb * 1e3:.1f} ms/row)", flush=True)
+
+    # codec roundtrip: headline (10 s, decode b=2) vs long-form (60 s, b=1)
+    for seconds, dec_b in ((10.0, 2), (60.0, 1)):
+        dev = codec_m(seconds, dec_b=dec_b)
+        print(f"[codec roundtrip {seconds:g}s dec_b={dec_b}] device "
+              f"{dev * 1e3:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
