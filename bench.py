@@ -454,11 +454,56 @@ def main():
     # ~27 min remote-compile broken-pipe failures — so it must never starve
     # the cheap stages of budget.
     def device_split_stage():
-        # gate on the COLD estimate even when the run looks warm: whether
-        # the chained program is cache-hit can't be known before tracing,
-        # and a miss costs 25+ min of remote compile — the happy path
-        # (everything seeded, elapsed ~10 min) clears 520 s anyway
-        if not gate("device_split", 520, 520):
+        # FALLBACK FIRST (r5): the exact chained compile is the remote
+        # service's biggest program and broke its pipe on every r4/r5-window
+        # attempt (~25-28 min each). Running the three-small-chains stage-sum
+        # before it guarantees a device number lands in the artifact even
+        # when the exact chain burns its attempts and the budget with them.
+        if gate("device_split_fallback", 120, 900):
+            try:
+                import math
+
+                t_tok = int(iface.s2t(seconds))
+                f_len = int(iface.s2t(iface.c2f.chunk_size_s))
+                c_len = int(iface.s2t(iface.coarse.chunk_size_s))
+                nb_coarse = math.ceil(t_tok / c_len) * batch_size
+                nb_c2f = math.ceil(t_tok / f_len) * batch_size
+                coarse_m, c2f_m, codec_m = make_stage_loops(iface)
+                parts = {
+                    "coarse": round(coarse_m(nb_coarse), 3),
+                    "c2f": round(c2f_m(nb_c2f), 3),
+                    "codec": round(codec_m(seconds, dec_b=batch_size), 3),
+                }
+                total = round(sum(parts.values()), 3)
+                detail["device_program_parts_s"] = parts
+                detail["device_program_sum_s"] = total
+                detail["device_split_method"] = (
+                    "stage_sum (coarse+c2f+codec chained differentials; "
+                    "excludes inter-stage glue)"
+                )
+                detail["tunnel_host_overhead_s"] = round(p50 - total, 3)
+            except Exception as e:
+                _log(f"device_split_fallback failed: {e!r}")
+            emit()
+
+        # exact chain second: if it succeeds, device_program_s supersedes the
+        # stage sum. Warmness can't be detected before tracing, so the gate
+        # keys on a marker that rides the seed-collection cycle: a successful
+        # chain run touches `.e2e_chain_ok` in the runtime cache, the
+        # refresh script's fresh-atime collect carries it into the committed
+        # seed next to the chain's cache entry, and its presence in the SEED
+        # means a fresh clone hits the chain warm (est 520 s). Without it, a
+        # cold attempt realistically costs ~25-28 min (every r4/r5-window
+        # attempt broke the remote-compile pipe at that point), so the gate
+        # demands 2000 s — above what a default-budget (2400 s) driver run
+        # has left after the warm stages, so only deliberately raised-budget
+        # runs (refresh_bench_cache / ONLY_DS warming) pay the attempt; the
+        # stage-sum above has already delivered device numbers either way.
+        marker = os.path.join(
+            os.path.dirname(__file__), ".jax_cache_seed", ".e2e_chain_ok"
+        )
+        chain_est = 520 if os.path.exists(marker) else 2000
+        if not gate("device_split", chain_est, chain_est):
             return
         try:
             fn = e2e_fns[-1]
@@ -510,9 +555,10 @@ def main():
                     # a failed attempt means the chained program was NOT a
                     # warm cache hit (broken-pipe mid-compile): the retry
                     # will pay cold-compile time regardless of the `cold`
-                    # flag, so gate it on the COLD estimate — otherwise a
-                    # warm-start run burns 25+ min past its budget here
-                    if remaining() < 520:
+                    # flag, so gate it on the realistic cold-attempt cost —
+                    # otherwise a warm-start run burns 25+ min past its
+                    # budget here
+                    if remaining() < 1700:
                         raise
                     if attempt + 1 < n_attempts:
                         time.sleep(45)  # let the remote-compile service drain
@@ -525,43 +571,17 @@ def main():
             # judged on THIS
             detail["device_program_s"] = round(device_program_s, 3)
             detail["tunnel_host_overhead_s"] = round(p50 - device_program_s, 3)
+            # chain proved warm/compilable here: touch the runtime marker so
+            # the refresh script's fresh-atime collect commits it alongside
+            # the chain's cache entry (see chain_est above)
+            try:
+                with open(os.path.join(cache_dir, ".e2e_chain_ok"), "w") as f:
+                    f.write("chained e2e differential compiled+ran ok\n")
+            except OSError:
+                pass
         except Exception as e:
             _log(f"device_split failed: {e!r}")
         emit()
-        # FALLBACK: when the exact chain is unavailable (its compile is the
-        # remote service's biggest program and breaks pipes in bad windows —
-        # r4 and r5 both lost it), sum three much smaller chained programs:
-        # coarse MaskGIT + c2f MaskGIT + codec roundtrip at the headline
-        # shapes. Excludes inter-stage glue (mask build, chunk reshapes), so
-        # it slightly UNDERSTATES device time — labeled by method field.
-        if ("device_program_s" not in detail or only_ds) and gate(
-            "device_split_fallback", 120, 900
-        ):
-            try:
-                import math
-
-                t_tok = int(iface.s2t(seconds))
-                f_len = int(iface.s2t(iface.c2f.chunk_size_s))
-                c_len = int(iface.s2t(iface.coarse.chunk_size_s))
-                nb_coarse = math.ceil(t_tok / c_len) * batch_size
-                nb_c2f = math.ceil(t_tok / f_len) * batch_size
-                coarse_m, c2f_m, codec_m = make_stage_loops(iface)
-                parts = {
-                    "coarse": round(coarse_m(nb_coarse), 3),
-                    "c2f": round(c2f_m(nb_c2f), 3),
-                    "codec": round(codec_m(seconds, dec_b=batch_size), 3),
-                }
-                total = round(sum(parts.values()), 3)
-                detail["device_program_parts_s"] = parts
-                detail["device_program_sum_s"] = total
-                detail["device_split_method"] = (
-                    "stage_sum (coarse+c2f+codec chained differentials; "
-                    "excludes inter-stage glue)"
-                )
-                detail["tunnel_host_overhead_s"] = round(p50 - total, 3)
-            except Exception as e:
-                _log(f"device_split_fallback failed: {e!r}")
-            emit()
 
     # ---- stage 3: fused Pallas sampler token-regression gate ----
     # The production sampler (ops/sampler_kernel.py) has its OWN pltpu PRNG

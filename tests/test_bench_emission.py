@@ -67,7 +67,10 @@ def test_bench_zero_budget_emits_headline_and_skip_record(zero_budget_run):
 
     # every optional stage the CPU backend reaches was gated off and recorded
     skipped = {s["stage"] for s in last["detail"]["skipped"]}
-    assert skipped == {"device_split", "serving", "hot_swap", "long_form"}
+    assert skipped == {
+        "device_split", "device_split_fallback", "serving", "hot_swap",
+        "long_form",
+    }
 
     # superset property: each successive line carries at least the keys of
     # the one before (a last-line parser never loses information)
