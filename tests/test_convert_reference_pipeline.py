@@ -124,7 +124,12 @@ def test_convert_reference_end_to_end(tmp_path, monkeypatch):
 
     for f in ("codec.vtpu", "coarse.vtpu", "c2f.vtpu", "wavebeat.vtpu",
               "loras/myfinetune/coarse.vtpu", "loras/myfinetune/c2f.vtpu",
-              "CONVERSION_REPORT.md", "goldens/coarse.npz", "goldens/c2f.npz"):
+              "CONVERSION_REPORT.md", "goldens/coarse.npz", "goldens/c2f.npz",
+              # variant goldens pin the loop beyond the base regime
+              # (VERDICT r4 item 4: coarse knobs + c2f typical/batch)
+              "goldens/coarse__topp.npz", "goldens/coarse__cfg_g1.npz",
+              "goldens/coarse__batch2.npz", "goldens/c2f__typical.npz",
+              "goldens/c2f__batch2.npz"):
         assert (out_dir / f).exists(), f"missing {f}"
 
     report = (out_dir / "CONVERSION_REPORT.md").read_text()
