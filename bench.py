@@ -220,23 +220,44 @@ def make_stage_loops(iface):
 
         return max(0.0, (wall(hi) - wall(lo)) / (hi - lo))
 
+    # CRITICAL: model params must enter each chained program as explicit jit
+    # ARGUMENTS. Closed-over params reach the outer trace as constants and
+    # get materialized into the StableHLO as dense literals — the coarse
+    # loop's module measured 1.27 GB of IR vs 0.3 MB param-explicit
+    # (scratch/probe_payload_size.py), and the remote-compile service
+    # rejects the body (HTTP 413 / broken pipe). This was the real cause of
+    # every r4/r5 chained-compile failure.
+    def _lm_loop(which, lm, m, z, key0, steps):
+        gen = iface._gen_fn(
+            which, lm, sampling_steps=steps, typical_filtering=True,
+            typical_mass=0.15, typical_min_tokens=64, top_k=None,
+            use_top_p=False, cfg_guidance=None, sampler_impl="auto",
+        )
+        cbs = (
+            lm.codebooks if lm.codebooks is not None
+            else iface._codebooks[: lm.n_codebooks]
+        )
+        f32 = jnp.float32
+
+        @jax.jit
+        def run(params, cbs, z, key, iters):
+            def body(i, zz):
+                return gen(
+                    params, cbs, jax.random.fold_in(key, i),
+                    jnp.where(m.astype(bool), lm.mask_token, zz), m,
+                    f32(1.0), f32(10.5), f32(0.0), f32(1.0),
+                )
+
+            return jax.lax.fori_loop(0, iters, body, z).sum()
+
+        return _differential(run, (lm.params, cbs, z, key0))
+
     def coarse(nb, steps=12):
         lm = iface.coarse
         t_len = iface.s2t(lm.chunk_size_s)
         z = jnp.zeros((nb, lm.n_codebooks, t_len), jnp.int32)
         m = jnp.ones_like(z)
-
-        @jax.jit
-        def run(z, key, iters):
-            def body(i, zz):
-                return iface._run_generate(
-                    lm, jnp.where(m.astype(bool), lm.mask_token, zz), m,
-                    jax.random.fold_in(key, i), _sampling_steps=steps,
-                )
-
-            return jax.lax.fori_loop(0, iters, body, z).sum()
-
-        return _differential(run, (z, jax.random.PRNGKey(0)))
+        return _lm_loop("coarse", lm, m, z, jax.random.PRNGKey(0), steps)
 
     def c2f(nb, steps=2):
         lm = iface.c2f
@@ -250,26 +271,14 @@ def make_stage_loops(iface):
             ],
             axis=1,
         )
-
-        @jax.jit
-        def run(z, key, iters):
-            def body(i, zz):
-                return iface._run_generate(
-                    lm, jnp.where(m.astype(bool), lm.mask_token, zz), m,
-                    jax.random.fold_in(key, i), _sampling_steps=steps,
-                )
-
-            return jax.lax.fori_loop(0, iters, body, z).sum()
-
-        return _differential(run, (z, jax.random.PRNGKey(1)))
+        return _lm_loop("c2f", lm, m, z, jax.random.PRNGKey(1), steps)
 
     def codec(seconds, dec_b=2):
         sig = make_sig(iface.codec_config, seconds)
         audio = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
-        cp = iface.codec_params
 
         @jax.jit
-        def run(a, iters):
+        def run(cp, a, iters):
             def body(i, aa):
                 codes = iface._encode_jit(cp, aa)  # encode at b=1 (production)
                 codes_b = jnp.tile(codes, (dec_b, 1, 1))  # decode at batch
@@ -278,7 +287,7 @@ def make_stage_loops(iface):
 
             return jax.lax.fori_loop(0, iters, body, a).sum()
 
-        return _differential(run, (audio,))
+        return _differential(run, (iface.codec_params, audio))
 
     return coarse, c2f, codec
 
@@ -450,40 +459,43 @@ def main():
     # rule; a staged/async-marginal method double-counts the ~69 ms/call
     # waveform transfer and per-stage dispatch RPCs as device).
     # Runs LAST (called after long_form below): the chained compile is the
-    # bench's most expensive and least reliable step — round 4 saw two
-    # ~27 min remote-compile broken-pipe failures — so it must never starve
-    # the cheap stages of budget.
+    # bench's most expensive step — and was its least reliable until r5
+    # found the closed-over-params payload bug (see make_stage_loops) — so
+    # it must never starve the cheap stages of budget.
     def device_split_stage():
-        # FALLBACK FIRST (r5): the exact chained compile is the remote
-        # service's biggest program and broke its pipe on every r4/r5-window
-        # attempt (~25-28 min each). Running the three-small-chains stage-sum
-        # before it guarantees a device number lands in the artifact even
-        # when the exact chain burns its attempts and the budget with them.
+        # FALLBACK FIRST (r5): three small chained programs (coarse MaskGIT,
+        # c2f MaskGIT, codec roundtrip) land a per-stage device split in the
+        # artifact before the bigger exact-chain compile is attempted. Each
+        # part is independent — a failed compile drops that part only.
         if gate("device_split_fallback", 120, 900):
-            try:
-                import math
+            import math
 
-                t_tok = int(iface.s2t(seconds))
-                f_len = int(iface.s2t(iface.c2f.chunk_size_s))
-                c_len = int(iface.s2t(iface.coarse.chunk_size_s))
-                nb_coarse = math.ceil(t_tok / c_len) * batch_size
-                nb_c2f = math.ceil(t_tok / f_len) * batch_size
-                coarse_m, c2f_m, codec_m = make_stage_loops(iface)
-                parts = {
-                    "coarse": round(coarse_m(nb_coarse), 3),
-                    "c2f": round(c2f_m(nb_c2f), 3),
-                    "codec": round(codec_m(seconds, dec_b=batch_size), 3),
-                }
-                total = round(sum(parts.values()), 3)
+            t_tok = int(iface.s2t(seconds))
+            f_len = int(iface.s2t(iface.c2f.chunk_size_s))
+            c_len = int(iface.s2t(iface.coarse.chunk_size_s))
+            nb_coarse = math.ceil(t_tok / c_len) * batch_size
+            nb_c2f = math.ceil(t_tok / f_len) * batch_size
+            coarse_m, c2f_m, codec_m = make_stage_loops(iface)
+            parts = {}
+            for part, fn_args in (
+                ("coarse", lambda: coarse_m(nb_coarse)),
+                ("c2f", lambda: c2f_m(nb_c2f)),
+                ("codec", lambda: codec_m(seconds, dec_b=batch_size)),
+            ):
+                try:
+                    parts[part] = round(fn_args(), 3)
+                except Exception as e:
+                    _log(f"device_split_fallback[{part}] failed: {e!r}")
+            if parts:
                 detail["device_program_parts_s"] = parts
-                detail["device_program_sum_s"] = total
-                detail["device_split_method"] = (
-                    "stage_sum (coarse+c2f+codec chained differentials; "
-                    "excludes inter-stage glue)"
-                )
-                detail["tunnel_host_overhead_s"] = round(p50 - total, 3)
-            except Exception as e:
-                _log(f"device_split_fallback failed: {e!r}")
+                if len(parts) == 3:
+                    total = round(sum(parts.values()), 3)
+                    detail["device_program_sum_s"] = total
+                    detail["device_split_method"] = (
+                        "stage_sum (coarse+c2f+codec chained differentials; "
+                        "excludes inter-stage glue)"
+                    )
+                    detail["tunnel_host_overhead_s"] = round(p50 - total, 3)
             emit()
 
         # exact chain second: if it succeeds, device_program_s supersedes the
@@ -493,28 +505,33 @@ def main():
         # refresh script's fresh-atime collect carries it into the committed
         # seed next to the chain's cache entry, and its presence in the SEED
         # means a fresh clone hits the chain warm (est 520 s). Without it, a
-        # cold attempt realistically costs ~25-28 min (every r4/r5-window
-        # attempt broke the remote-compile pipe at that point), so the gate
-        # demands 2000 s — above what a default-budget (2400 s) driver run
-        # has left after the warm stages, so only deliberately raised-budget
-        # runs (refresh_bench_cache / ONLY_DS warming) pay the attempt; the
-        # stage-sum above has already delivered device numbers either way.
+        # cold attempt costs an e2e-class remote compile (~6-10 min — the
+        # historical ~25-28 min broken-pipe attempts were the closed-over-
+        # params payload bug, fixed: params are explicit args now), so the
+        # gate demands 900 s; the stage-sum above has already delivered
+        # device numbers either way.
         marker = os.path.join(
             os.path.dirname(__file__), ".jax_cache_seed", ".e2e_chain_ok"
         )
-        chain_est = 520 if os.path.exists(marker) else 2000
+        chain_est = 520 if os.path.exists(marker) else 900
         if not gate("device_split", chain_est, chain_est):
             return
         try:
             fn = e2e_fns[-1]
             audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
-            cp_, co_, c2_, cb_ = (
+            params_ = (
                 iface.codec_params, iface.coarse.params, iface.c2f.params,
                 iface._codebooks,
             )
 
+            # params as explicit jit ARGS — closed over, they materialize as
+            # dense IR literals (a ~1.3 GB module, scratch/
+            # probe_payload_size.py) and the remote-compile service rejects
+            # the body; this was the r4/r5 "broken pipe / HTTP 413" cause
             @jax.jit
-            def chained(audio, key, iters):
+            def chained(ps, audio, key, iters):
+                cp_, co_, c2_, cb_ = ps
+
                 def body(i, a):
                     wav = fn(
                         cp_, co_, c2_, cb_, a, jax.random.fold_in(key, i),
@@ -532,11 +549,11 @@ def main():
             key_ = jax.random.PRNGKey(3)
 
             def wall_iters(n, reps=2):
-                np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+                np.asarray(chained(params_, audio_dev, key_, jnp.int32(n)))
                 best = float("inf")
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+                    np.asarray(chained(params_, audio_dev, key_, jnp.int32(n)))
                     best = min(best, time.perf_counter() - t0)
                 return best
 
@@ -553,12 +570,10 @@ def main():
                     last_err = e
                     _log(f"device_split attempt {attempt} failed: {e!r}")
                     # a failed attempt means the chained program was NOT a
-                    # warm cache hit (broken-pipe mid-compile): the retry
-                    # will pay cold-compile time regardless of the `cold`
-                    # flag, so gate it on the realistic cold-attempt cost —
-                    # otherwise a warm-start run burns 25+ min past its
-                    # budget here
-                    if remaining() < 1700:
+                    # warm cache hit: the retry pays cold-compile time
+                    # regardless of the `cold` flag, so gate it on the
+                    # realistic cold e2e-class compile cost
+                    if remaining() < 700:
                         raise
                     if attempt + 1 < n_attempts:
                         time.sleep(45)  # let the remote-compile service drain

@@ -60,13 +60,18 @@ def chained_device_time(iface, sig, batch_size, label):
     assert len(iface._gen_cache) > n_before or True
 
     audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
-    cp_, co_, c2_, cb_ = (
+    params_ = (
         iface.codec_params, iface.coarse.params, iface.c2f.params,
         iface._codebooks,
     )
 
+    # params as explicit jit ARGS — closed over, they materialize as dense
+    # IR literals (~1.3 GB module, scratch/probe_payload_size.py) and the
+    # remote-compile service rejects the body (HTTP 413 / broken pipe)
     @jax.jit
-    def chained(audio, key, iters):
+    def chained(ps, audio, key, iters):
+        cp_, co_, c2_, cb_ = ps
+
         def body(i, a):
             wav = fn(
                 cp_, co_, c2_, cb_, a, jax.random.fold_in(key, i),
@@ -84,12 +89,11 @@ def chained_device_time(iface, sig, batch_size, label):
     key_ = jax.random.PRNGKey(3)
 
     def wall_iters(n, reps=2):
-        # the chained compile is the remote-compile service's biggest
-        # program and drops connections under load (broken pipe) — retry;
-        # partial compiles are cached so each retry makes progress
+        # the chained compile is still the service's biggest program —
+        # retry transient drops; partial compiles are cached
         for attempt in range(4):
             try:
-                np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+                np.asarray(chained(params_, audio_dev, key_, jnp.int32(n)))
                 break
             except Exception as e:
                 print(f"  chained compile attempt {attempt} failed: {e!r}",
@@ -100,7 +104,7 @@ def chained_device_time(iface, sig, batch_size, label):
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            np.asarray(chained(audio_dev, key_, jnp.int32(n)))
+            np.asarray(chained(params_, audio_dev, key_, jnp.int32(n)))
             best = min(best, time.perf_counter() - t0)
         return best
 
