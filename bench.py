@@ -588,12 +588,19 @@ def main():
             detail["tunnel_host_overhead_s"] = round(p50 - device_program_s, 3)
             # chain proved warm/compilable here: touch the runtime marker so
             # the refresh script's fresh-atime collect commits it alongside
-            # the chain's cache entry (see chain_est above)
-            try:
-                with open(os.path.join(cache_dir, ".e2e_chain_ok"), "w") as f:
-                    f.write("chained e2e differential compiled+ran ok\n")
-            except OSError:
-                pass
+            # the chain's cache entry (see chain_est above). TPU only — a
+            # CPU smoke chain says nothing about the remote-compile path.
+            # utime explicitly: a plain re-write of a pre-existing marker
+            # updates mtime but NOT atime, and the refresh collect keys on
+            # atime (this exact miss dropped the marker once).
+            if jax.default_backend() == "tpu":
+                try:
+                    mpath = os.path.join(cache_dir, ".e2e_chain_ok")
+                    with open(mpath, "w") as f:
+                        f.write("chained e2e differential compiled+ran ok\n")
+                    os.utime(mpath, None)
+                except OSError:
+                    pass
         except Exception as e:
             _log(f"device_split failed: {e!r}")
         emit()
