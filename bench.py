@@ -17,7 +17,7 @@ printed and flushed the moment it is measured; every later stage re-prints
 the full JSON as a SUPERSET line (same headline fields, richer detail), so
 a driver that takes either the first or the last JSON line gets a valid
 result even if a later stage is killed. Optional stages are gated on a
-wall-clock budget (env VAMPNET_BENCH_BUDGET_S, default 900) with cold/warm
+wall-clock budget (env VAMPNET_BENCH_BUDGET_S, default 2400) with cold/warm
 compile-cost estimates; skipped stages are recorded in detail["skipped"].
 
 Env knobs:
@@ -518,7 +518,15 @@ def main():
             return
         try:
             fn = e2e_fns[-1]
-            audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
+            audio_np = np.asarray(
+                iface._preprocess(sig).samples
+            ).transpose(0, 2, 1)
+            # the bench e2e program runs transfer_dtype="int16": its input
+            # arg is PCM16, so the chain carry must be PCM16 too
+            audio_np = np.round(
+                np.clip(audio_np, -1.0, 1.0) * 32767.0
+            ).astype(np.int16)
+            audio_dev = jnp.asarray(audio_np)
             params_ = (
                 iface.codec_params, iface.coarse.params, iface.c2f.params,
                 iface._codebooks,
@@ -541,7 +549,10 @@ def main():
                     )
                     if wav.dtype == jnp.int16:  # PCM16-transfer program variant
                         wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
-                    return jnp.clip(wav[0:1], -1.0, 1.0)
+                    wav = jnp.clip(wav[0:1], -1.0, 1.0)
+                    if a.dtype == jnp.int16:  # match the carry to the input
+                        wav = jnp.round(wav * 32767.0).astype(jnp.int16)
+                    return wav
 
                 out = jax.lax.fori_loop(0, iters, body, audio)
                 return jnp.sum(out.astype(jnp.float32))

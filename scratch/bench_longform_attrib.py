@@ -59,7 +59,11 @@ def chained_device_time(iface, sig, batch_size, label):
     fn = [f for k, f in iface._gen_cache.items() if k[0] == "vamp_e2e"][-1]
     assert len(iface._gen_cache) > n_before or True
 
-    audio_dev = jnp.asarray(iface._preprocess(sig).samples.transpose(0, 2, 1))
+    audio_np = np.asarray(iface._preprocess(sig).samples).transpose(0, 2, 1)
+    # transfer_dtype="int16" above: the program's input arg is PCM16, so the
+    # chain carry must be PCM16 too
+    audio_np = np.round(np.clip(audio_np, -1.0, 1.0) * 32767.0).astype(np.int16)
+    audio_dev = jnp.asarray(audio_np)
     params_ = (
         iface.codec_params, iface.coarse.params, iface.c2f.params,
         iface._codebooks,
@@ -81,7 +85,10 @@ def chained_device_time(iface, sig, batch_size, label):
             )
             if wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) * (1.0 / 32767.0)
-            return jnp.clip(wav[0:1], -1.0, 1.0)
+            wav = jnp.clip(wav[0:1], -1.0, 1.0)
+            if a.dtype == jnp.int16:  # match the carry to the input
+                wav = jnp.round(wav * 32767.0).astype(jnp.int16)
+            return wav
 
         out = jax.lax.fori_loop(0, iters, body, audio)
         return jnp.sum(out.astype(jnp.float32))

@@ -174,8 +174,17 @@ def test_vamp_e2e_single_dispatch(interface):
 
 def test_vamp_e2e_int16_transfer_matches_fp32(interface):
     """PCM16 host-link transfer must match the fp32 path to 16-bit
-    resolution wherever |sample| <= 1 (PCM clips above full scale)."""
+    resolution wherever |sample| <= 1 (PCM clips above full scale).
+
+    transfer_dtype="int16" moves BOTH directions as PCM16 (r5): feed input
+    that is exactly PCM16-representable so encode sees identical samples on
+    both paths and the only difference left is the output quantization."""
     sig = _sig(0.3)
+    # mirror the device dequant bit-for-bit: int16 -> f32 -> * f32(1/32767)
+    sig.samples = (
+        np.round(np.clip(sig.samples, -1.0, 1.0) * 32767.0)
+        .astype(np.int16).astype(np.float32) * np.float32(1.0 / 32767.0)
+    )
     kw = dict(batch_size=2, seed=5, _sampling_steps=2, upper_codebook_mask=2)
     out16 = interface.vamp_e2e(sig, transfer_dtype="int16", **kw)
     out32 = interface.vamp_e2e(sig, transfer_dtype="float32", **kw)
