@@ -41,11 +41,29 @@ def _lm_config_from_dict(d: dict) -> LMConfig:
     return LMConfig(**{k: tuple(v) if isinstance(v, list) else v for k, v in d.items()})
 
 
+def _to_host(tree):
+    """Fetch a (possibly device-resident) pytree to host numpy in ONE
+    overlapped transfer wave. Per-leaf synchronous `np.asarray` pays a full
+    RPC round-trip per tensor on a remote-device link — measured ~80x
+    slower than issuing every `copy_to_host_async` first (635 MB of coarse
+    params: ~1,450 s naive vs 17.8 s overlapped, scratch/probe_fetch.py).
+    Host-resident leaves pass through untouched."""
+    import jax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for x in leaves:
+        if hasattr(x, "copy_to_host_async"):
+            x.copy_to_host_async()
+    return jax.tree_util.tree_unflatten(
+        treedef, [np.asarray(x) for x in leaves]
+    )
+
+
 def save_lm(path, config: LMConfig, params) -> None:
     payload = {
         "kind": "vampnet_lm",
         "config": json.dumps(_config_to_dict(config)),
-        "params": flax.serialization.to_state_dict(params),
+        "params": flax.serialization.to_state_dict(_to_host(params)),
     }
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
@@ -57,7 +75,7 @@ def save_codec(path, config: CodecConfig, params) -> None:
     payload = {
         "kind": "vampnet_codec",
         "config": json.dumps(dataclasses.asdict(config)),
-        "params": flax.serialization.to_state_dict(params),
+        "params": flax.serialization.to_state_dict(_to_host(params)),
     }
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
@@ -114,7 +132,7 @@ def save_lora(path, lora_params) -> None:
     payload = {
         "kind": "vampnet_lora",
         "config": "{}",
-        "params": flax.serialization.to_state_dict(lora_params),
+        "params": flax.serialization.to_state_dict(_to_host(lora_params)),
     }
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
@@ -128,7 +146,7 @@ def save_wavebeat(path, config, params) -> None:
     payload = {
         "kind": "vampnet_wavebeat",
         "config": json.dumps(dataclasses.asdict(config)),
-        "params": flax.serialization.to_state_dict(params),
+        "params": flax.serialization.to_state_dict(_to_host(params)),
     }
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     with open(path, "wb") as f:
