@@ -113,6 +113,18 @@ class CheckpointManager:
 
             multihost_utils.sync_global_processes(f"ckpt-save-{tag}")
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+        if jax.process_count() == 1:
+            # prefetch the tree to host in ONE overlapped D2H wave: orbax's
+            # own per-array transfer sequences round-trips on a remote-device
+            # link (a 635 MB params tree did not finish in 9 min through the
+            # axon tunnel; the overlapped wave moves it in ~18 s —
+            # vampnet_tpu.checkpoints._to_host, scratch/probe_fetch.py).
+            # Multi-process saves keep device arrays: the orbax write is a
+            # collective over cross-process-sharded state, and each process
+            # must hand orbax its own addressable shards.
+            from ..checkpoints import _to_host
+
+            tree = _to_host(tree)
         self._ckptr.save(state_dir, tree)
         if not self.async_save:
             self._ckptr.wait_until_finished()
@@ -123,9 +135,10 @@ class CheckpointManager:
         # so only the orbax tree write rides the background thread
         if tracker_state is not None:
             (tag_dir / "tracker.json").write_text(json.dumps(tracker_state))
-        save_lm(tag_dir / "model.vtpu", lm_config, state.params)
+        # reuse the already-fetched host params instead of a second D2H wave
+        save_lm(tag_dir / "model.vtpu", lm_config, tree["params"])
         if fine_tune:
-            save_lora(tag_dir / "lora.vtpu", lora_state_dict(state.params))
+            save_lora(tag_dir / "lora.vtpu", lora_state_dict(tree["params"]))
 
     def wait_until_finished(self):
         """Block until any in-flight async save has committed to disk."""
